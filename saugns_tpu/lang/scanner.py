@@ -1,0 +1,469 @@
+"""Character scanner for the SAU language.
+
+Behavioral port of the reference scanner (sau/scanner.c, sau/file.c):
+character gets with per-character filtering (whitespace collapsing,
+comment removal), one-frame ungets that restore the read position,
+numeric literal reads, and identifier reads.
+
+Key semantics preserved (citations into /root/reference):
+- whitespace filtering levels WS_ALL / WS_NONE (sau/scanner.h:96-99)
+- comment syntax //, /* */, plus parser-installed '#' filter for
+  '#!' line comments and '#Q' quit-file (sau/parser.c:210-224)
+- unget restores position to final byte of the last get, with that byte
+  patched to the filtered character (sau/scanner.c:718-741 set_usedc)
+- number formats: no exponents; [digits][.digits] (sau/file.c:383-447)
+"""
+from __future__ import annotations
+
+import sys
+
+SCAN_SPACE = ' '
+SCAN_LNBRK = '\n'
+SCAN_EOF = '\0'
+
+WS_ALL = 0
+WS_NONE = 1
+
+
+def is_digit(c: str) -> bool:
+    return '0' <= c <= '9'
+
+
+def is_alpha(c: str) -> bool:
+    return ('a' <= c <= 'z') or ('A' <= c <= 'Z')
+
+
+def is_symchar(c: str) -> bool:
+    return is_alpha(c) or is_digit(c) or c == '_'
+
+
+class ScanFrame:
+    __slots__ = ('line_num', 'char_num', 'c')
+
+    def __init__(self, line_num=1, char_num=0, c='\0'):
+        self.line_num = line_num
+        self.char_num = char_num
+        self.c = c
+
+    def copy(self):
+        return ScanFrame(self.line_num, self.char_num, self.c)
+
+
+class Scanner:
+    """Scanner over in-memory script text (file contents or -e string)."""
+
+    def __init__(self, symtab):
+        self.symtab = symtab
+        self.text = ''
+        self.pos = 0
+        self.path = None
+        self.name = None
+        self.closed = False
+        self.ws_level = WS_ALL
+        self.sf = ScanFrame()
+        # unget history: list of (start_pos, end_pos, frame_after) records
+        self._hist = []
+        self._override = {}  # pos -> patched char (filtered multi-byte gets)
+        self.s_quiet = False
+        self.s_error = False
+        self.data = None  # ScanLookup attached by parser
+        self.hash_filter = False  # '#'-filter installed by parser
+
+    # -- opening ---------------------------------------------------------
+
+    def open(self, script: str, is_path: bool) -> bool:
+        if is_path:
+            try:
+                with open(script, 'rb') as f:
+                    self.text = f.read().decode('latin-1')
+            except OSError as e:
+                print("error: couldn't open script file \"%s\" for reading"
+                      % script, file=sys.stderr)
+                return False
+            self.path = script
+            self.name = script
+        else:
+            self.text = script
+            self.path = '<string>'
+            self.name = '<string>'
+        self.pos = 0
+        self.closed = False
+        self.sf = ScanFrame()
+        return True
+
+    def close(self):
+        self.closed = True
+
+    # -- raw byte access (sauFile level) ----------------------------------
+
+    def _b(self, pos: int) -> str:
+        ov = self._override.get(pos)
+        if ov is not None:
+            return ov
+        if pos >= len(self.text) or self.closed:
+            return SCAN_EOF
+        return self.text[pos]
+
+    def file_getc(self) -> str:
+        c = self._b(self.pos)
+        self.pos += 1
+        return c
+
+    def file_retc(self) -> str:
+        return self._b(self.pos)
+
+    def file_decp(self):
+        self.pos -= 1
+
+    def file_incp(self):
+        self.pos += 1
+
+    def file_ungetn(self, n: int):
+        self.pos -= n
+
+    def file_tryc(self, c: str) -> bool:
+        if self._b(self.pos) == c:
+            self.pos += 1
+            return True
+        return False
+
+    def file_at_eof(self, pos=None) -> bool:
+        if self.closed:
+            return True
+        p = self.pos if pos is None else pos
+        return p > len(self.text)
+
+    # -- filtering ---------------------------------------------------------
+
+    def _filter(self, c: str):
+        """Apply the default + parser filters for raw char ``c``
+        (already consumed). Returns filtered char, '' to skip,
+        or SCAN_EOF at end of file."""
+        ws_none = self.ws_level == WS_NONE
+        if c == ' ' or c == '\t':
+            if ws_none:
+                while self._b(self.pos) in (' ', '\t'):
+                    self.pos += 1
+                    self.sf.char_num += 1
+                return ''
+            return SCAN_SPACE
+        if c == '\n' or c == '\r':
+            if c == '\n':
+                self.file_tryc('\r')
+            self.sf.line_num += 1
+            self.sf.char_num = 0
+            if ws_none:
+                # consume further newlines/spaces
+                while True:
+                    nc = self._b(self.pos)
+                    if nc == '\n':
+                        self.pos += 1
+                        self.file_tryc('\r')
+                        self.sf.line_num += 1
+                        self.sf.char_num = 0
+                    elif nc == '\r':
+                        self.pos += 1
+                        self.sf.line_num += 1
+                        self.sf.char_num = 0
+                    elif nc in (' ', '\t'):
+                        self.pos += 1
+                        self.sf.char_num += 1
+                    else:
+                        break
+                return ''
+            return SCAN_LNBRK
+        if c == '/':
+            nc = self._b(self.pos)
+            if nc == '*':
+                self.pos += 1
+                # block comment: until '*/'; acts as a space
+                while True:
+                    cc = self.file_getc()
+                    if cc == '\n':
+                        self.file_tryc('\r')
+                        self.sf.line_num += 1
+                        self.sf.char_num = 0
+                    elif cc == '\r':
+                        self.sf.line_num += 1
+                        self.sf.char_num = 0
+                    elif cc == '*':
+                        if self.file_tryc('/'):
+                            break
+                    elif cc == SCAN_EOF and self.file_at_eof():
+                        self.error(None, "unterminated comment")
+                        return SCAN_EOF
+                # comment counts as a space token (sau/scanner.c:240-246)
+                return self._filter(' ')
+            if nc == '/':
+                self.pos += 1
+                self._skip_line()
+                return ''
+            return c
+        if c == '#':
+            if self.hash_filter:
+                nc = self._b(self.pos)
+                if nc == '!':
+                    self.pos += 1
+                    self.sf.char_num += 1
+                    self._skip_line()
+                    return ''
+                if nc == 'Q':
+                    self.close()
+                    return SCAN_EOF
+                return c
+            # default: '#' opens a line comment (sau/scanner.c:366)
+            self._skip_line()
+            return ''
+        if c == SCAN_EOF and self.file_at_eof():
+            return SCAN_EOF
+        o = ord(c)
+        if o < 0x20 or o > 0x7e:
+            self.warning(None, "invalid character (value 0x%02X)" % o)
+            return ''
+        return c
+
+    def _skip_line(self):
+        while True:
+            c = self._b(self.pos)
+            if c == '\n' or c == '\r':
+                break
+            if c == SCAN_EOF and self.file_at_eof(self.pos + 1):
+                break
+            self.pos += 1
+            self.sf.char_num += 1
+
+    # -- scanner gets -----------------------------------------------------
+
+    def getc(self) -> str:
+        """Get next filtered character; SCAN_EOF ('\\0') at end of file.
+        Returns '\\0' for EOF like the C scanner returns 0."""
+        eof = False
+        while True:
+            start = self.pos
+            c = self.file_getc()
+            self.sf.char_num += 1
+            fc = self._filter(c)
+            if fc == '':
+                continue
+            if fc == SCAN_EOF:
+                if self.file_at_eof() or self.closed:
+                    c = '\0'
+                    eof = True
+                    break
+                continue
+            c = fc
+            break
+        end = self.pos
+        if not eof and (end - start != 1 or self.text[start:start + 1] != c):
+            self._override[end - 1] = c
+        self.sf.c = c
+        frame = self.sf.copy()
+        self._hist.append((start, end, frame))
+        if len(self._hist) > 128:
+            del self._hist[0]
+        return c
+
+    def retc(self) -> str:
+        c = self.getc()
+        self.ungetc()
+        return c
+
+    def ungetc(self):
+        """Positional unget (sau/scanner.c:718-741): move back to the
+        final byte of the last get; that byte is patched (override) so
+        a re-get returns the same filtered character."""
+        if not self._hist:
+            return
+        rec = self._hist.pop()
+        self.pos = rec[1] - 1
+        if self._hist:
+            self.sf = self._hist[-1][2].copy()
+        else:
+            self.sf = ScanFrame()
+
+    def tryc(self, testc: str) -> bool:
+        c = self.getc()
+        if c != testc:
+            self.ungetc()
+            return False
+        return True
+
+    def getc_after(self, testc: str) -> str:
+        """Get char after current if testc matched first, else '\\0'
+        (sau/scanner.c:669-673)."""
+        if not self.tryc(testc):
+            return '\0'
+        return self.getc()
+
+    def get_suffc(self) -> str:
+        """Get char if alphabetic and not followed by a symchar
+        (sau/scanner.c:823-846)."""
+        c = self.getc()
+        if not is_alpha(c):
+            self.ungetc()
+            return '\0'
+        nc = self.file_retc()
+        if is_symchar(nc):
+            self.ungetc()
+            return '\0'
+        return c
+
+    def skipws(self) -> str:
+        """Skip whitespace before the next character (sau/scanner.c:895-903)."""
+        c = self.retc()
+        while c == SCAN_SPACE or c == SCAN_LNBRK:
+            self.getc()
+            c = self.retc()
+        return c
+
+    # -- number reads (file level; sau/file.c:330-447) ---------------------
+
+    def _file_geti(self, allow_sign: bool):
+        """Returns (value, read_len)."""
+        start = self.pos
+        c = self.file_getc()
+        length = 1
+        minus = False
+        if allow_sign and (c == '+' or c == '-'):
+            minus = c == '-'
+            c = self.file_getc()
+            length += 1
+        if not is_digit(c):
+            self.pos = start
+            return 0, 0
+        num = 0
+        truncate = False
+        while is_digit(c):
+            num = num * 10 + (ord(c) - ord('0'))
+            if num > 0x7fffffff:
+                truncate = True
+                num = 0x7fffffff
+            c = self.file_getc()
+            length += 1
+        if minus:
+            num = -num
+            if truncate:
+                num = -0x80000000
+        self.file_decp()
+        length -= 1
+        return num, length
+
+    def _file_getd(self):
+        """C sauFile_getd with allow_sign=false. Returns (value, read_len)."""
+        start = self.pos
+        c = self.file_getc()
+        length = 1
+        num_a = 0.0
+        if c != '.':
+            if not is_digit(c):
+                self.pos = start
+                return 0.0, 0
+            while is_digit(c):
+                num_a = num_a * 10.0 + (ord(c) - ord('0'))
+                c = self.file_getc()
+                length += 1
+            if c != '.':
+                self.file_decp()
+                return num_a, length - 1
+            c = self.file_getc()
+            if not is_digit(c):
+                # "1." form: exclude the dot (sau/file.c:419-423)
+                self.pos -= 2
+                return num_a, length - 1
+            length += 1
+        else:
+            c = self.file_getc()
+            length += 1
+            if not is_digit(c):
+                self.pos = start
+                return 0.0, 0
+        num_b = 0
+        pos_div = 1.0
+        while is_digit(c):
+            b = num_b * 10 + (ord(c) - ord('0'))
+            if num_b <= b < (1 << 63):
+                num_b = b
+                pos_div *= 10.0
+            c = self.file_getc()
+            length += 1
+        num_a += num_b / pos_div
+        self.file_decp()
+        return num_a, length - 1
+
+    def geti(self, allow_sign=False):
+        """Scanner-level integer read. Returns (value, read_len)."""
+        val, rl = self._file_geti(allow_sign)
+        if rl:
+            self.sf.char_num += rl
+            self.sf.c = self.text[self.pos - 1] if self.pos - 1 < len(self.text) else '\0'
+        return val, rl
+
+    def getd(self, allow_sign=False, numconst_f=None):
+        """Scanner-level double read (sau/scanner.c:775-815).
+        Returns (value, read_len)."""
+        c = self.file_retc()
+        sign = False
+        minus = False
+        if allow_sign and (c == '+' or c == '-'):
+            self.file_incp()
+            minus = c == '-'
+            sign = True
+        val = 0.0
+        read_len = 0
+        if numconst_f is not None:
+            val2 = [0.0]
+            read_len = numconst_f(self, val2)
+            val = val2[0]
+        if read_len == 0:
+            val, read_len = self._file_getd()
+        if read_len == 0:
+            if sign:
+                self.file_decp()
+            return 0.0, 0
+        if sign:
+            read_len += 1
+        if minus:
+            val = -val
+        self.sf.char_num += read_len
+        return val, read_len
+
+    def get_symstr(self):
+        """Read identifier string; returns interned Symstr or None."""
+        start = self.pos
+        chars = []
+        while True:
+            c = self._b(self.pos)
+            if not is_symchar(c):
+                break
+            chars.append(c)
+            self.pos += 1
+        if not chars:
+            self.pos = start
+            return None
+        self.sf.char_num += len(chars)
+        return self.symtab.get_symstr(''.join(chars))
+
+    # -- diagnostics --------------------------------------------------------
+
+    def _print_stderr(self, label, sf, msg):
+        if sf is not None:
+            print("%s:%d:%d: %s: %s" % (self.name, sf.line_num,
+                                        sf.char_num, label, msg),
+                  file=sys.stderr)
+        else:
+            print("%s: %s: %s" % (self.name, label, msg), file=sys.stderr)
+
+    def notice(self, sf, msg):
+        self._print_stderr("notice", sf if sf is not None else self.sf, msg)
+
+    def warning(self, sf, msg):
+        if self.s_quiet:
+            return
+        self._print_stderr("warning", sf if sf is not None else self.sf, msg)
+
+    def warning_at(self, got_at, msg):
+        self.warning(self.sf, msg)
+
+    def error(self, sf, msg):
+        self.s_error = True
+        self._print_stderr("error", sf if sf is not None else self.sf, msg)

@@ -1,0 +1,47 @@
+"""Help topics: named help lists for -h <topic> and in-parse
+"available are:" suggestions (port of sau/help.c)."""
+from __future__ import annotations
+
+import sys
+
+
+def get_help_names():
+    from ..dsp import prim
+    from ..dsp.lines import LINE_NAMES
+    from ..dsp.wavetables import WAVE_NAMES
+    from ..lang.program import NOISE_NAMES
+    return {
+        'help': None,  # filled below
+        'math': tuple(n + ('()' if p == prim.MATH_VAL_F else
+                           '()' if p in (prim.MATH_STATE_F,
+                                         prim.MATH_STATEVAL_F) else '')
+                      for n, p in zip(prim.MATH_NAMES, prim.MATH_PARAMS)),
+        'variable': tuple('$' + n for n in prim.MATH_VARS_NAMES),
+        'line': tuple(LINE_NAMES),
+        'wave': tuple(WAVE_NAMES),
+        'noise': tuple(NOISE_NAMES),
+    }
+
+
+HELP_TOPICS = ('help', 'math', 'variable', 'line', 'wave', 'noise')
+
+
+def find_help(topic):
+    """sau_find_help (sau/help.c:34-48)."""
+    names = get_help_names()
+    names['help'] = HELP_TOPICS
+    for key in HELP_TOPICS:
+        if key.startswith(topic):
+            return names[key]
+    return None
+
+
+def print_names(names, indent='\t', out=None):
+    """sau_print_names column printer (sau/help.c:73-90)."""
+    out = out or sys.stdout
+    i = 0
+    names = [n for n in names if n]
+    while i < len(names):
+        row = names[i:i + 8]
+        out.write(indent + '\t'.join(row) + '\n')
+        i += 8
