@@ -1,0 +1,80 @@
+"""System audio output via ALSA (ctypes libasound), with graceful
+fallback to a null device when unavailable. Port of
+player/audiodev.c + player/audiodev/linux.c.
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import sys
+
+
+class NullAudioDev:
+    def __init__(self, srate):
+        self.srate = srate
+
+    def write(self, buf, samples):
+        return True
+
+    def close(self):
+        pass
+
+
+class AlsaAudioDev:
+    """Interleaved S16 playback on 'default' PCM (audiodev/linux.c)."""
+
+    SND_PCM_STREAM_PLAYBACK = 0
+    SND_PCM_FORMAT_S16 = 2
+    SND_PCM_ACCESS_RW_INTERLEAVED = 3
+
+    def __init__(self, channels, srate):
+        lib = ctypes.util.find_library('asound')
+        if not lib:
+            raise OSError('libasound not found')
+        self.a = ctypes.CDLL(lib)
+        self.channels = channels
+        name = os.environ.get('AUDIODEV', 'default').encode()
+        self.pcm = ctypes.c_void_p()
+        if self.a.snd_pcm_open(ctypes.byref(self.pcm), name,
+                               self.SND_PCM_STREAM_PLAYBACK, 0) < 0:
+            raise OSError('snd_pcm_open failed')
+        rate = ctypes.c_uint(srate)
+        hwp = ctypes.create_string_buffer(8192)
+        a = self.a
+        if (a.snd_pcm_hw_params_any(self.pcm, hwp) < 0 or
+                a.snd_pcm_hw_params_set_access(
+                    self.pcm, hwp, self.SND_PCM_ACCESS_RW_INTERLEAVED) < 0
+                or a.snd_pcm_hw_params_set_format(
+                    self.pcm, hwp, self.SND_PCM_FORMAT_S16) < 0 or
+                a.snd_pcm_hw_params_set_channels(
+                    self.pcm, hwp, channels) < 0 or
+                a.snd_pcm_hw_params_set_rate_near(
+                    self.pcm, hwp, ctypes.byref(rate), None) < 0 or
+                a.snd_pcm_hw_params(self.pcm, hwp) < 0):
+            a.snd_pcm_close(self.pcm)
+            raise OSError('ALSA hw params failed')
+        self.srate = rate.value
+
+    def write(self, buf, samples):
+        data = buf[:samples * self.channels].tobytes()
+        written = self.a.snd_pcm_writei(self.pcm, data, samples)
+        if written < 0:
+            # underrun recovery (audiodev/linux.c:99-107)
+            if self.a.snd_pcm_prepare(self.pcm) < 0:
+                return False
+            written = self.a.snd_pcm_writei(self.pcm, data, samples)
+        return written == samples
+
+    def close(self):
+        self.a.snd_pcm_drain(self.pcm)
+        self.a.snd_pcm_close(self.pcm)
+
+
+def open_audiodev(channels, srate):
+    try:
+        return AlsaAudioDev(channels, srate)
+    except OSError:
+        print("warning: audiodev: system audio unavailable, "
+              "continuing muted", file=sys.stderr)
+        return NullAudioDev(srate)

@@ -1,0 +1,106 @@
+"""Player: pulls generator output and fans out to WAV/AU file, raw
+stdout, and (optionally) system audio. Port of saugns.c:471-665.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..dsp import prim
+from .wav import FORMAT_AU, FORMAT_WAV, SndFile
+
+BUF_TIME_MS = 256
+CH_MIN_LEN = 1
+
+# option flags shared with cli.py (import cycle avoided by redefining)
+OPT_MODE_FULL = 1 << 0
+OPT_SYSAU_ENABLE = 1 << 1
+OPT_SYSAU_DISABLE = 1 << 2
+OPT_AUDIO_MONO = 1 << 3
+OPT_AUDIO_STDOUT = 1 << 4
+OPT_AUFILE_STDOUT = 1 << 5
+OPT_MODE_CHECK = 1 << 6
+
+
+def _make_generator(prg, srate):
+    """Select render backend: 'jax' (TPU engine) or 'cpu' (NumPy
+    reference). SAUGNS_TPU_BACKEND overrides; defaults to jax when
+    available."""
+    backend = os.environ.get('SAUGNS_TPU_BACKEND', 'auto')
+    if backend in ('jax', 'auto'):
+        try:
+            from ..render.engine import JaxGenerator
+            return JaxGenerator(prg, srate)
+        except Exception:
+            if backend == 'jax':
+                raise
+    from ..render.cpu import Generator
+    return Generator(prg, srate)
+
+
+class Player:
+    def __init__(self, srate, options, wav_path):
+        self.options = options
+        self.ok = True
+        self.sf = None
+        self.ad = None
+        self.buf = None
+        self.ch_count = 1 if options & OPT_AUDIO_MONO else 2
+        self.srate = srate
+        if options & OPT_MODE_CHECK:
+            return
+        use_audiodev = ((options & OPT_SYSAU_ENABLE) != 0) if wav_path \
+            else ((options & OPT_SYSAU_DISABLE) == 0)
+        if use_audiodev:
+            from .audiodev import open_audiodev
+            self.ad = open_audiodev(self.ch_count, srate)
+            # unavailable system audio: warn and continue muted
+        if wav_path:
+            try:
+                if options & OPT_AUFILE_STDOUT:
+                    self.sf = SndFile(None, FORMAT_AU, self.ch_count,
+                                      srate)
+                else:
+                    self.sf = SndFile(wav_path, FORMAT_WAV, self.ch_count,
+                                      srate)
+            except OSError:
+                print("error: couldn't open %s file \"%s\" for writing"
+                      % ('WAV', wav_path), file=sys.stderr)
+                self.ok = False
+                return
+        self.ch_len = max(prim.ms_in_samples(BUF_TIME_MS, srate),
+                          CH_MIN_LEN)
+        self.buf = np.zeros(self.ch_len * self.ch_count, dtype=np.int16)
+
+    def run(self, prg):
+        if self.options & OPT_MODE_CHECK:
+            return True
+        stereo = not (self.options & OPT_AUDIO_MONO)
+        use_stdout = (self.options & OPT_AUDIO_STDOUT) != 0
+        gen = _make_generator(prg, self.srate)
+        error = False
+        more = True
+        while more:
+            more, out_len = gen.run(self.buf, self.ch_len, stereo)
+            length = out_len
+            if self.ad is not None:
+                if not self.ad.write(self.buf, length):
+                    error = True
+            if use_stdout:
+                sys.stdout.buffer.write(
+                    self.buf[:length * self.ch_count].astype('=i2')
+                    .tobytes())
+            if self.sf is not None:
+                if not self.sf.write(self.buf, length):
+                    error = True
+        return not error
+
+    def finish(self):
+        ok = True
+        if self.ad is not None:
+            self.ad.close()
+        if self.sf is not None:
+            ok = self.sf.close() == 0
+        return ok

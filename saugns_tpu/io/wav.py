@@ -68,7 +68,7 @@ class SndFile:
                 bytes_ = self.channels * self.samples * SOUND_BYTES
                 self.f.seek(4)
                 self.f.write(struct.pack('<I', (36 + bytes_) & 0xffffffff))
-                self.f.seek(4 + 32, 1)
+                self.f.seek(32, 1)
                 self.f.write(struct.pack('<I', bytes_ & 0xffffffff))
             elif self.format == FORMAT_AU:
                 if self.samples < 0xffffffff:

@@ -99,7 +99,8 @@ def get_note_freq(sopt, note: int, notemod: int, subnote: int) -> float:
     if note < 0:
         note += 12
         freq *= 0.5
-    freq *= notes[note] * notes[key_note]
+    # C: notes[note] * notes[key_note] is a float (f32) product
+    freq *= float(f32(notes[note]) * f32(notes[key_note]))
     if notemod < 0:
         freq /= notemods[(-notemod) - 1]
     elif notemod > 0:
@@ -108,7 +109,9 @@ def get_note_freq(sopt, note: int, notemod: int, subnote: int) -> float:
         lonote = notes[note]
         note7 = note12to7(note)
         hinote = notes[note7to12(note7 + 1)] if note7 < 6 else 2 * notes[0]
-        freq *= 1.0 + (hinote / lonote - 1.0) * (notes[subnote] - 1.0)
+        # C: (notes[subnote] - 1.f) is a float (f32) subtraction
+        freq *= 1.0 + (hinote / lonote - 1.0) * float(f32(notes[subnote])
+                                                      - f32(1.0))
     return freq
 
 

@@ -174,8 +174,8 @@ class ParseConv:
                     continue  # omit no-op
                 arr = oas.mods[t] + arr
             else:
-                if arr == oas.mods[t]:
-                    continue  # omit no-op
+                if not arr and not oas.mods[t]:
+                    continue  # omit no-op (C: pointer-equal blank arrays)
             oas.mods[t] = arr
             vas.flags |= VAS_SET_GRAPH
             setattr(ood, P.OpData.MOD_FIELDS[t], arr)
