@@ -1,0 +1,667 @@
+"""JAX DSP kernels for the TPU engine.
+
+jnp ports of the per-sample DSP primitives with strict float32 /
+integer-width discipline. The wave oscillator uses a cancellation-free
+reformulation of the reference's PILUT differentiation
+(sau/generator/wosc.h:238-266): instead of computing
+``(Is(p2) - Is(p1)) * (scale/pd)`` with float64 Hermite evaluations and
+catastrophic cancellation at small ``pd``, the difference of the
+piecewise-cubic interpolant is evaluated analytically:
+
+    Is(p2)-Is(p1) = [P2(x2)-P2(0)] + (lut[i2]-lut[i1+1]) + [P1(1)-P1(x1)]
+
+where each bracket is an exactly-factored polynomial difference
+(P(1)-P(x) = (1-x)(c3(1+x+x^2)+c2(1+x)+c1), P(x)-P(0) = x((c3 x+c2)x+c1)),
+using the Hermite identities P(0)=lut[i], P(1)=lut[i+1]. This keeps full
+float32 accuracy for any phase step, including the +/-1 steps where the
+reference needs float64.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp import prim
+from ..dsp import wavetables as W
+from ..dsp.lines import PERLIN_AMP
+from ..lang import program as P
+
+f32 = jnp.float32
+i32 = jnp.int32
+u32 = jnp.uint32
+u64 = jnp.uint64
+
+FIBH32 = np.uint32(0x9e3779b9)
+HUMMID_INV = np.float32(1.0 / prim.HUMMID)
+SCALE31 = np.float32(2.0 ** -31)
+SCALE32 = np.float32(2.0 ** -32)
+P31 = np.float32(2.0 ** 31)
+P32F = np.float32(2.0 ** 32)
+
+
+def ranfast32(n):
+    """sau_ranfast32 (sau/math.h:297-303); uint32 in/out."""
+    s = n.astype(u32) * FIBH32
+    s = s ^ (s >> np.uint32(14))
+    s = (s | np.uint32(1)) * s
+    s = s ^ (s >> np.uint32(13))
+    return s
+
+
+def mcg32(x):
+    return x.astype(u32) * np.uint32(0xe47135)
+
+
+def sar32(x, s):
+    """Arithmetic right shift of u32-encoded i32 by dynamic amount."""
+    return (x.view(i32) >> s.astype(i32)).view(u32) \
+        if hasattr(x, 'view') else x
+
+
+def asi32(x_u32):
+    return jax.lax.bitcast_convert_type(x_u32, i32)
+
+
+def asu32(x_i32):
+    return jax.lax.bitcast_convert_type(x_i32, u32)
+
+
+def ftoi(x_f32):
+    """llrintf: float32 -> int64 round-half-even (wrap-around use)."""
+    return jnp.rint(x_f32).astype(jnp.int64)
+
+
+def sinpi_d5(x):
+    """Degree-5 sin(pi x) approximation (sau/math.h:366-379)."""
+    s0 = np.float32(+3.14042741234069229463)
+    s1 = np.float32(-5.13655757476162831091)
+    s2 = np.float32(+2.29939170159543653372)
+    x2 = x * x
+    return x * (s0 + x2 * (s1 + x2 * s2))
+
+
+def franssgauss32(n):
+    """Soft-saturated Gaussian hash noise (noise.h:61-98)."""
+    s0 = ranfast32(n)
+    s1 = mcg32(s0)
+    a = asi32(s0).astype(f32) * SCALE32
+    b = asi32(s1).astype(f32) * SCALE32
+    c0 = np.float32(-0.80270565422983103084)
+    c1 = np.float32(+5.52274428214641442648)
+    c2 = np.float32(-138.87126103150588693697)
+    x2 = a * a
+    x4 = x2 * x2
+    c = np.float32(0.5) + a * (c0 + x4 * (c1 + x4 * c2))
+    cx2 = c * c
+    gx = (c + cx2) * np.float32(0.5)
+    c = c * (np.float32(1.0) - gx * (np.float32(1.0) - cx2))
+    return c * sinpi_d5(b)
+
+
+def foldhd32(s):
+    """Wavefold (sau/math.h:112-118); u32 in/out."""
+    cond = (s + np.uint32(1 << 29)) > np.uint32(1 << 31)
+    folded = np.uint32(((1 << 31) + (1 << 30)) & 0xffffffff) - s
+    s = jnp.where(cond, folded, s)
+    return (s - np.uint32(1 << 29)) * np.uint32(2)
+
+
+# -- line shapes -------------------------------------------------------------
+
+def sinramp(x):
+    s0 = np.float32(1.5702137061703461473139223358864)
+    s1 = np.float32(-2.568278787380814155456160152724)
+    s2 = np.float32(1.1496958507977182668618673644367)
+    x2 = x * x
+    return x * (s0 + x2 * (s1 + x2 * s2))
+
+
+def expramp6(x):
+    x2 = x * x
+    x3 = x2 * x
+    return x3 + (x2 * x3 - x2) * (x * np.float32(629.0 / 1792.0)
+                                  + x2 * np.float32(1163.0 / 1792.0))
+
+
+def _seed_bits(x):
+    return jax.lax.bitcast_convert_type(x.astype(f32), u32)
+
+
+def line_val(line_type, x, a, b):
+    """Vectorized sauLine_val_* dispatch (sau/line.h:152-266).
+    x, a, b broadcastable float32."""
+    one = np.float32(1.0)
+    half = np.float32(0.5)
+
+    def v_cos(x, a, b):
+        return a + (b - a) * (sinramp(x - half) + half)
+
+    def v_lin(x, a, b):
+        return a + (b - a) * x
+
+    def v_sah(x, a, b):
+        return jnp.broadcast_to(a, x.shape).astype(f32)
+
+    def v_exp(x, a, b):
+        return jnp.where(a > b,
+                         b + (a - b) * expramp6(one - x),
+                         a + (b - a) * expramp6(x))
+
+    def v_log(x, a, b):
+        return jnp.where(a < b,
+                         b + (a - b) * expramp6(one - x),
+                         a + (b - a) * expramp6(x))
+
+    def v_xpe(x, a, b):
+        return b + (a - b) * expramp6(one - x)
+
+    def v_lge(x, a, b):
+        return a + (b - a) * expramp6(x)
+
+    def v_sqe(x, a, b):
+        x1 = one - x
+        return b + (a - b) * (x1 * x1)
+
+    def v_cub(x, a, b):
+        x1 = (half - x) * np.float32(2)
+        return b + (a - b) * (x1 * x1 * x1 * half + half)
+
+    def v_smo(x, a, b):
+        return a + (b - a) * x * x * x * (np.float32(10.0) + x * (
+            np.float32(-15.0) + x * np.float32(6.0)))
+
+    def v_uwh(x, a, b):
+        s = asi32(ranfast32(_seed_bits(x))).astype(f32)
+        return a + (b - a) * (half + np.float32(0.5 * 2.0 ** -31) * s)
+
+    def v_ncl(x, a, b):
+        xb = x - (np.float32(3.0) - (x + x)) * x * x
+        s = asi32(ranfast32(_seed_bits(x))).astype(f32)
+        return a + (b - a) * (x + xb * s * np.float32(0.5 * 2.0 ** -31))
+
+    def v_nhl(x, a, b):
+        xb = x - x * x
+        s = asi32(ranfast32(_seed_bits(x))).astype(f32)
+        return a + (b - a) * (x + xb * s * SCALE31)
+
+    fns = [v_cos, v_lin, v_sah, v_exp, v_log, v_xpe, v_lge, v_sqe,
+           v_cub, v_smo, v_ncl, v_nhl, v_uwh]
+    return jax.lax.switch(jnp.clip(line_type, 0, 12), fns, x, a, b)
+
+
+def line_fill(line_type, i_pos, end, v0, vt):
+    """Vectorized sauLine_fill_* dispatch (sau/line.c). ``i_pos``:
+    uint32 absolute positions (pos + i); ``end``: total samples (i32
+    scalar); returns float32 values (no mulbuf)."""
+    inv_time = np.float32(1.0) / end.astype(f32)
+    # midpoint forms (lin/cos/sqe/cub/ncl/nhl): x = (i - end/2)/end
+    adj = (i_pos.astype(u32) - (end.astype(u32) // np.uint32(2)))
+    x_mid = asi32(adj).astype(f32) * inv_time
+    # plain forms: x = i/end with u32->float conversion
+    x_pln = i_pos.astype(u32).astype(f32) * inv_time
+    vm = (v0 + vt) * np.float32(0.5)
+    vd = vt - v0
+    half = np.float32(0.5)
+
+    def f_cos(_):
+        return vm + vd * sinramp(x_mid)
+
+    def f_lin(_):
+        return vm + vd * x_mid
+
+    def f_sah(_):
+        return jnp.full(i_pos.shape, v0, dtype=f32)
+
+    def f_xpe(_):
+        return vt + (v0 - vt) * expramp6(np.float32(1.0) - x_pln)
+
+    def f_lge(_):
+        return v0 + (vt - v0) * expramp6(x_pln)
+
+    def f_exp(_):
+        return jnp.where(v0 > vt, f_xpe(0), f_lge(0))
+
+    def f_log(_):
+        return jnp.where(v0 < vt, f_xpe(0), f_lge(0))
+
+    def f_sqe(_):
+        x = half - x_mid
+        return vt + (v0 - vt) * (x * x)
+
+    def f_cub(_):
+        scale = np.float32(-2) * inv_time
+        x = asi32(adj).astype(f32) * scale
+        return vt + (v0 - vt) * (x * x * x * half + half)
+
+    def f_smo(_):
+        x = x_pln
+        return v0 + (vt - v0) * x * x * x * (np.float32(10.0) + x * (
+            np.float32(-15.0) + x * np.float32(6.0)))
+
+    def f_uwh(_):
+        s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
+        return vm + (vd * np.float32(0.5 / 0x7fffffff)) * s
+
+    def f_ncl(_):
+        x = x_mid
+        xb = x + half
+        xb = xb - (np.float32(3.0) - (xb + xb)) * xb * xb
+        s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
+        return vm + vd * (x + xb * s * np.float32(0.5 / 0x7fffffff))
+
+    def f_nhl(_):
+        x = x_mid
+        xb = x + half
+        xb = xb - xb * xb
+        s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
+        return vm + vd * (x + xb * s * np.float32(2 * 0.5 / 0x7fffffff))
+
+    fns = [f_cos, f_lin, f_sah, f_exp, f_log, f_xpe, f_lge, f_sqe,
+           f_cub, f_smo, f_ncl, f_nhl, f_uwh]
+    return jax.lax.switch(jnp.clip(line_type, 0, 12), fns, 0)
+
+
+def line_val_at(line_type, pos, end, v0, vt):
+    """Single value at current position (sauLine_get of 1 sample,
+    used by sauLine_copy). Uses line_fill on a length-1 vector."""
+    i_pos = jnp.asarray([pos], dtype=u32)
+    return line_fill(line_type, i_pos, end, v0, vt)[0]
+
+
+# -- PILUT wave oscillator ---------------------------------------------------
+
+_luts = None
+_piluts = None
+
+
+def get_tables():
+    """Wave LUTs as device arrays. Must be first called outside any
+    trace (jit captures would leak tracers into the module cache)."""
+    global _luts, _piluts
+    if _luts is None:
+        import jax.core
+        lut_arr, pilut_arr = W.get_tables()
+        with jax.ensure_compile_time_eval():
+            _luts = jnp.asarray(lut_arr)
+            _piluts = jnp.asarray(pilut_arr)
+    return _luts, _piluts
+
+PHASE_ADJ = jnp.asarray(W.PICOEFF_PHASE_ADJ)     # (12,) u32
+AMP_SCALE_T = jnp.asarray(W.PICOEFF_AMP_SCALE)   # (12,) f32
+AMP_DC_T = jnp.asarray(W.PICOEFF_AMP_DC)         # (12,) f32
+SLENBITS = np.uint32(W.SLENBITS)
+LENMASK = np.int32(W.LENMASK)
+X_SCALE = np.float32(1.0 / W.SLEN)
+
+
+def _hermite_coeffs(pilut, ind):
+    """c1, c2, c3 (c0 unused) for cell ``ind`` (masked).
+
+    Computed from adjacent-sample differences, in which the O(1) terms
+    cancel algebraically: with d0 = s1-s0, d1 = s2-s1, d2 = s3-s2,
+        c1 = (d0 + d1)/2
+        c2 = -d0 + 1.5 d1 - 0.5 d2
+        c3 = 0.5 d0 - d1 + 0.5 d2
+    The differences are (near-)exact in float32 (Sterbenz), so the
+    small curvature coefficients keep full relative precision -- the
+    naive form loses them to cancellation near table extrema."""
+    s0 = pilut[(ind - 1) & LENMASK]
+    s1 = pilut[ind & LENMASK]
+    s2 = pilut[(ind + 1) & LENMASK]
+    s3 = pilut[(ind + 2) & LENMASK]
+    half = np.float32(0.5)
+    d0 = s1 - s0
+    d1 = s2 - s1
+    d2 = s3 - s2
+    c1 = half * (d0 + d1)
+    c2 = np.float32(1.5) * d1 - d0 - half * d2
+    c3 = half * (d0 + d2) - d1
+    return c1, c2, c3
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: a + b = s + e exactly (round-to-nearest, no FMA)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd via 12-bit split: a * b = p + e exactly."""
+    SPLIT = np.float32(4097.0)  # 2^12 + 1
+    p = a * b
+    ca = SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def wosc_diff(pilut, wave, p1_u32, p2_u32):
+    """Anti-aliased oscillator output for the phase step p1 -> p2:
+    s = DVSCALE(wave) * (Is(p2)-Is(p1)) / (p2-p1) + DVOFFSET(wave),
+    computed cancellation-free (see module docstring), with
+    compensated (double-float) accumulation so the result rounds to
+    the same float32 as the reference's float64 evaluation on
+    (essentially) every sample -- FM chains integrate this value, so
+    consistent sub-ulp bias would otherwise accumulate phase drift.
+    Returns (s, valid) where valid == False iff p2 == p1."""
+    pd = asi32(p2_u32 - p1_u32)
+    i1 = (p1_u32 >> SLENBITS).astype(i32)
+    i2 = (p2_u32 >> SLENBITS).astype(i32)
+    x1 = (p1_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    x2 = (p2_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    c1a, c2a, c3a = _hermite_coeffs(pilut, i1)
+    c1b, c2b, c3b = _hermite_coeffs(pilut, i2)
+    one = np.float32(1.0)
+    diff_scale = AMP_SCALE_T[wave] * np.float32(0.125) * P32F
+    valid = pd != 0
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    # C computes x = (float)(diff_scale / phase_diff) then widens;
+    # replicate that rounded factor exactly (wosc.h:255).
+    xf = diff_scale / pdf
+    same_cell = i1 == i2
+
+    # dIs as a compensated sum of three cancellation-free pieces:
+    # same cell:  (x2-x1) * bracket, with (x2-x1) = pd * 2^-21 exact
+    # cross cell: [P2(x2)-P2(0)] + (lut[i2]-lut[i1+1]) + [P1(1)-P1(x1)]
+    q3 = x2 * x2 + x1 * x2 + x1 * x1
+    q2 = x2 + x1
+    t3h, t3l = _two_prod(c3a, q3)
+    t2h, t2l = _two_prod(c2a, q2)
+    bh, be = _two_sum(t3h, t2h)
+    bh, be2 = _two_sum(bh, c1a)
+    b_lo = be + be2 + t3l + t2l
+    m_same = (x2 - x1)  # == pd * 2^-21, exact in f32 (|pd| < 2^21)
+
+    head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
+    tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
+    th, tl = _two_prod(one - x1, tailb)
+    mh, ml = _two_sum(pilut[i2 & LENMASK], -pilut[(i1 + 1) & LENMASK])
+    dh, de = _two_sum(head_h, th)
+    dh, de2 = _two_sum(dh, mh)
+    d_lo = de + de2 + head_l + tl + ml
+
+    dIs_h = jnp.where(same_cell, bh * m_same, dh)
+    dIs_l = jnp.where(same_cell, b_lo * m_same, d_lo)
+    # s = (dIs_h + dIs_l) * xf + offset, compensated, single rounding
+    ph, pe = _two_prod(dIs_h, xf)
+    lo = pe + dIs_l * xf
+    sh, se = _two_sum(ph, AMP_DC_T[wave])
+    s = sh + (se + lo)
+    return s, valid
+
+
+def _horner_diff(c1, c2, c3, x):
+    """P(x) - P(0) = x((c3 x + c2) x + c1) with compensated product."""
+    inner = (c3 * x + c2) * x + c1
+    return _two_prod(x, inner)
+
+
+def wosc_run_vec(pilut, wave, phase_buf, prev_phase, prev_s, reset,
+                 length):
+    """Vectorized sauWOsc_run. Returns (out, new_prev_phase,
+    new_prev_s, used). State advances only when length > 0."""
+    B = phase_buf.shape[0]
+    idx = jnp.arange(B, dtype=i32)
+    # reset: behave as if prev_phase = phase[0] - SLEN (see wosc.h:215)
+    p0 = phase_buf[0] - np.uint32(W.SLEN)
+    pp = jnp.where(reset, p0, prev_phase)
+    p_prev = jnp.concatenate([jnp.asarray([pp], dtype=u32),
+                              phase_buf[:-1]])
+    s_raw, valid = wosc_diff(pilut, wave, p_prev, phase_buf)
+    # forward-fill invalid positions (phase_diff == 0) with previous s
+    s_ext = jnp.concatenate([jnp.asarray([prev_s], dtype=f32), s_raw])
+    last_valid = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(valid, idx + 1, 0))
+    out = s_ext[last_valid]
+    has = length > 0
+    li = jnp.maximum(length - 1, 0)
+    new_pp = jnp.where(has, phase_buf[li], prev_phase)
+    new_ps = jnp.where(has, out[li], prev_s)
+    return out, new_pp, new_ps
+
+
+def wosc_selfmod_scan(pilut, wave, phase_buf, abuf, prev_phase, prev_s,
+                      fb_s, reset, length):
+    """sauWOsc_run_selfmod (wosc.h:273-310) as a per-sample scan."""
+    B = phase_buf.shape[0]
+    p0 = phase_buf[0] - np.uint32(W.SLEN)
+    pp0 = jnp.where(reset, p0, prev_phase)
+    fb_scale = P31
+
+    def step(carry, xs):
+        pp, ps, fb, i = carry
+        ph, am = xs
+        adj = ftoi(fb * am * fb_scale).astype(jnp.int64)
+        phase = (ph.astype(jnp.int64) + adj).astype(u32)
+        s, valid = wosc_diff(pilut, wave, pp, phase)
+        s = jnp.where(valid, s, ps)
+        active = i < length
+        pp_n = jnp.where(active & valid, phase, pp)
+        ps_n = jnp.where(active & valid, s, ps)
+        fb_n = jnp.where(active, (fb + s) * np.float32(0.5), fb)
+        return (pp_n, ps_n, fb_n, i + 1), jnp.where(active, s,
+                                                    np.float32(0))
+
+    (pp, ps, fb, _), out = jax.lax.scan(
+        step, (pp0, prev_s, fb_s, jnp.int32(0)),
+        (phase_buf, abuf))
+    return out, pp, ps, fb
+
+
+# -- random segments oscillator ----------------------------------------------
+
+def rasg_map(func, level, alpha, oflags, cycle):
+    """Endpoint pair map (rasg.h:296-683). ``cycle``: uint32 vector.
+    Returns (a, b) float32."""
+    u1 = np.uint32(1)
+    violet = (oflags & P.RAS_O_VIOLET) != 0
+
+    def m_urand(_):
+        def plain(_):
+            a = asi32(ranfast32(cycle)).astype(f32) * SCALE31
+            b = asi32(ranfast32(cycle + u1)).astype(f32) * SCALE31
+            return a, b
+
+        def vio(_):
+            s0 = ranfast32(cycle - u1) // np.uint32(2)
+            s1 = ranfast32(cycle) // np.uint32(2)
+            s2 = ranfast32(cycle + u1) // np.uint32(2)
+            a = asi32(s1 - s0).astype(f32) * SCALE31
+            b = asi32(s2 - s1).astype(f32) * SCALE31
+            return a, b
+        return jax.lax.cond(violet, vio, plain, 0)
+
+    def m_gauss(_):
+        return franssgauss32(cycle), franssgauss32(cycle + u1)
+
+    def _sar(x):
+        return asu32(asi32(x) >> level.astype(i32))
+
+    def _divi2(x_u32):
+        xi = asi32(x_u32)
+        q = jnp.sign(xi) * (jnp.abs(xi) // 2)
+        return asu32(q.astype(i32))
+
+    def m_bin(_):
+        def plain(_):
+            offs = np.uint32(0x7fffffff) + (cycle & u1) * np.uint32(2)
+            s1 = _sar(ranfast32(cycle)) + offs
+            s2 = _sar(ranfast32(cycle + u1)) - offs
+            return (asi32(s1).astype(f32) * SCALE31,
+                    asi32(s2).astype(f32) * SCALE31)
+
+        def vio(_):
+            scale_diff = np.float32(1.0) - (
+                jnp.asarray(0x7fffffff, i32) >> level.astype(i32)
+            ).astype(f32) * SCALE31
+            scale = (np.float32(1.0) + scale_diff * scale_diff) * SCALE31
+            sb = (cycle & u1) << np.uint32(31)
+            sb_flip = np.uint32(1 << 31) - sb
+            s0 = _divi2(_sar(ranfast32(cycle - u1)) + sb)
+            s1 = _divi2(_sar(ranfast32(cycle)) + sb_flip)
+            s2 = _divi2(_sar(ranfast32(cycle + u1)) + sb)
+            return (asi32(s1 - s0).astype(f32) * scale,
+                    asi32(s2 - s1).astype(f32) * scale)
+        return jax.lax.cond(violet, vio, plain, 0)
+
+    def m_tern(_):
+        sb = (cycle & u1) << np.uint32(31)
+        sb_flip = np.uint32(1 << 31) - sb
+        s1 = _sar(ranfast32(cycle)) + sb_flip
+        s2 = _sar(ranfast32(cycle + u1)) + sb
+        return (asi32(s1).astype(f32) * SCALE31,
+                asi32(s2).astype(f32) * SCALE31)
+
+    def m_fixed(_):
+        sign = (1 - (cycle & u1).astype(i32) * 2)
+
+        def simple(_):
+            a = sign.astype(f32)
+            return a, -a
+
+        def plain(_):
+            imax = jnp.int32(0x7fffffff)
+            r1 = (asi32(ranfast32(cycle)) >> level.astype(i32)) - imax
+            r2 = (asi32(ranfast32(cycle + u1)) >> level.astype(i32)) \
+                - imax
+            a = (-sign * r1).astype(f32) * SCALE31
+            b = (sign * r2).astype(f32) * SCALE31
+            return a, b
+
+        def vio(_):
+            imax = jnp.int32(0x7fffffff)
+            r0 = (asi32(ranfast32(cycle - u1)) >> level.astype(i32)) \
+                - imax
+            r1 = (asi32(ranfast32(cycle)) >> level.astype(i32)) - imax
+            r2 = (asi32(ranfast32(cycle + u1)) >> level.astype(i32)) \
+                - imax
+            s0 = _divi2(asu32(sign * r0))
+            s1 = _divi2(asu32(-sign * r1))
+            s2 = _divi2(asu32(sign * r2))
+            return (asi32(s1 - s0).astype(f32) * SCALE31,
+                    asi32(s2 - s1).astype(f32) * SCALE31)
+        return jax.lax.cond(
+            level >= P.ras_level(9), simple,
+            lambda _: jax.lax.cond(violet, vio, plain, 0), 0)
+
+    def m_addrec(_):
+        s0 = cycle * alpha
+        s1 = (cycle + u1) * alpha
+        return (asi32(s0).astype(f32) * SCALE31,
+                asi32(s1).astype(f32) * SCALE31)
+
+    return jax.lax.switch(jnp.clip(func, 0, 5),
+                          [m_urand, m_gauss, m_bin, m_tern, m_fixed,
+                           m_addrec], 0)
+
+
+def rasg_shape(line, oflags, phase, a, b):
+    """Mode-flag post-pass + line map (rasg.h:692-743)."""
+    one = np.float32(1.0)
+    perlin_amp = jnp.where(
+        (oflags & (P.RAS_O_HALFSHAPE | P.RAS_O_ZIGZAG)) != 0,
+        one, jnp.asarray(PERLIN_AMP)[jnp.clip(line, 0, 12)])
+    do_perlin = (oflags & P.RAS_O_PERLIN) != 0
+    a = jnp.where(do_perlin, a * (perlin_amp * phase), a)
+    b = jnp.where(do_perlin, b * (perlin_amp * (phase - one)), b)
+    do_half = (oflags & P.RAS_O_HALFSHAPE) != 0
+    hi = jnp.maximum(a, b)
+    lo = jnp.minimum(a, b)
+    a = jnp.where(do_half, hi, a)
+    b = jnp.where(do_half, lo, b)
+    do_zig = (oflags & P.RAS_O_ZIGZAG) != 0
+    a2 = jnp.where(do_zig, b, a)
+    b2 = jnp.where(do_zig, a, b)
+    do_sq = (oflags & P.RAS_O_SQUARE) != 0
+    a2 = jnp.where(do_sq, a2 * jnp.abs(a2), a2)
+    b2 = jnp.where(do_sq, b2 * jnp.abs(b2), b2)
+    return line_val(line, phase, a2, b2)
+
+
+def rasg_selfmod_scan(func, line, level, alpha, oflags, phase_buf,
+                      cycle_buf, abuf, prev_s, fb_s, length):
+    """sauRasG_run_selfmod (rasg.h:242-294, 764-772) as a scan."""
+
+    def step(carry, xs):
+        ps, fb, i = carry
+        phase0, cyc0, am = xs
+        pm_a = fb * am * np.float32(0.5)
+        phase = phase0 + pm_a
+        cycle_adj = jnp.floor(phase).astype(i32)
+        cycle = (cyc0.astype(i32) + cycle_adj).astype(u32)
+        phase = phase - cycle_adj.astype(f32)
+        cv = jnp.reshape(cycle, (1,))
+        a, b = rasg_map(func, level, alpha, oflags, cv)
+        s = rasg_shape(line, oflags,
+                       jnp.reshape(phase, (1,)), a, b)[0]
+        active = i < length
+        fb_n = jnp.where(active, (fb + s + ps) * np.float32(0.5), fb)
+        ps_n = jnp.where(active, s, ps)
+        return (ps_n, fb_n, i + 1), jnp.where(active, s, np.float32(0))
+
+    (ps, fb, _), out = jax.lax.scan(
+        step, (prev_s, fb_s, jnp.int32(0)),
+        (phase_buf, cycle_buf, abuf))
+    return out, ps, fb
+
+
+# -- noise generator ---------------------------------------------------------
+
+def noise_run(ntype, n0, nprev, length, B):
+    """sauNoiseG_run (noise.h:177-185). Returns (out, new_prev).
+    ``n0``: u32 counter start; state advance by ``length`` is handled
+    by the caller (n0 + length)."""
+    idx = jnp.arange(B, dtype=u32)
+    n = n0 + idx
+    mask = jnp.arange(B, dtype=i32) < length
+    li = jnp.maximum(length - 1, 0)
+
+    def t_wh(_):
+        return asi32(ranfast32(n)).astype(f32) * SCALE31, nprev
+
+    def t_gw(_):
+        return franssgauss32(n), nprev
+
+    def t_bw(_):
+        s = (asi32(ranfast32(n)) >> 31) * 2 + 1
+        return s.astype(f32), nprev
+
+    def t_tw(_):
+        s = (asi32(ranfast32(n)) >> 31) * 2 + 1
+        return jnp.where((n & np.uint32(1)).astype(bool),
+                         s.astype(f32), np.float32(0)), nprev
+
+    def t_re(_):
+        s = asi32(ranfast32(n))
+        inc = asu32(s >> 6)
+        inc = jnp.where(mask, inc, np.uint32(0))
+        sums = nprev + jnp.cumsum(inc, dtype=u32)
+        out = asi32(foldhd32(sums)).astype(f32) * SCALE31
+        new_prev = jnp.where(length > 0, sums[li], nprev)
+        return out, new_prev
+
+    def t_vi(_):
+        s1 = ranfast32(n)
+        s0 = jnp.concatenate([jnp.reshape(nprev, (1,)), s1[:-1]])
+        out = asi32(s1 // np.uint32(2)
+                    - s0 // np.uint32(2)).astype(f32) * SCALE31
+        return out, jnp.where(length > 0, s1[li], nprev)
+
+    def t_bv(_):
+        s1 = asi32(ranfast32(n)) >> 31
+        s1 = jnp.where((n & np.uint32(1)).astype(bool),
+                       s1 * 2 + 1, 0)
+        s0 = jnp.concatenate([jnp.reshape(asi32(nprev), (1,)), s1[:-1]])
+        out = (s1 - s0).astype(f32)
+        return out, jnp.where(length > 0, asu32(s1[li]), nprev)
+
+    return jax.lax.switch(jnp.clip(ntype, 0, 6),
+                          [t_wh, t_gw, t_bw, t_tw, t_re, t_vi, t_bv], 0)
