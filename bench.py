@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: realtime factor of the TPU render engine on the
+reference's headline configs (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value = aggregate realtime factor (audio-seconds per wall-second) over
+the headline example scripts at 96 kHz stereo, steady-state (second
+render; compilation cached). vs_baseline divides by the reference
+saugns binary's aggregate realtime factor on the same scripts measured
+on this machine's host CPU (`saugns -d -r96000 -m`, see BASELINE.md):
+123.4x. Values > 1 mean faster than the reference.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_RTF_BASELINE = 123.4  # reference binary, this host CPU, 96 kHz
+
+CONFIGS = [
+    ('wsin', 'Wsin', False),
+    ('simple_sequence-pm',
+     '/root/reference/examples/simple_sequence-pm.sau', True),
+    ('misc1-4fm_pm', '/root/reference/examples/misc1-4fm_pm.sau', True),
+    ('rainy_thunder', '/root/reference/examples/rainy_thunder.sau',
+     True),
+]
+
+SRATE = 96000
+
+
+def main():
+    import jax
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.render.engine import JaxGenerator
+    from saugns_tpu.render import jdsp
+    jdsp.get_tables()
+
+    results = {}
+    tot_audio = 0.0
+    tot_wall = 0.0
+    for name, src, is_path in CONFIGS:
+        if is_path and not os.path.exists(src):
+            continue
+        prg = build_program(ScriptArg(str=src, is_path=is_path,
+                                      no_time=True, predef=[]))
+        if prg is None:
+            continue
+        # pass 1: compile + warm
+        g = JaxGenerator(prg, SRATE)
+        g._render_f32()
+        # pass 2: steady-state timing
+        g2 = JaxGenerator(prg, SRATE)
+        t0 = time.time()
+        out = g2._render_f32()
+        wall = time.time() - t0
+        audio_s = out.shape[0] / SRATE
+        results[name] = audio_s / wall
+        if name != 'wsin':  # aggregate over the example corpus configs
+            tot_audio += audio_s
+            tot_wall += wall
+        print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f'
+              % (name, audio_s, wall, audio_s / wall), file=sys.stderr)
+
+    # bulk polyphony stress: 1024-voice FM bank, 10 s
+    try:
+        from saugns_tpu.parallel.sharding import (make_mesh,
+                                                  render_fm_bank,
+                                                  sharded_args)
+        mesh = make_mesh(len(jax.devices()))
+        n_samples = SRATE * 2
+        args, n_samples = sharded_args(mesh, 1024, n_samples)
+        fn = jax.jit(lambda *a: render_fm_bank(mesh, *a,
+                                               n_samples=n_samples))
+        fn(*args)[0].block_until_ready()
+        t0 = time.time()
+        out = fn(*args)
+        out.block_until_ready()
+        wall = time.time() - t0
+        results['poly1024'] = (n_samples / SRATE) / wall
+        print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f (1024 voices)'
+              % ('poly1024', n_samples / SRATE, wall,
+                 results['poly1024']), file=sys.stderr)
+    except Exception as e:
+        print('# poly1024 failed: %s' % e, file=sys.stderr)
+
+    rtf = tot_audio / tot_wall if tot_wall > 0 else 0.0
+    print(json.dumps({
+        'metric': 'realtime_factor_96k_stereo_headline_corpus',
+        'value': round(rtf, 1),
+        'unit': 'x_realtime',
+        'vs_baseline': round(rtf / REF_RTF_BASELINE, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,122 @@
+"""Multi-device rendering over a jax.sharding.Mesh.
+
+The reference is single-threaded (SURVEY.md §2.5); the natural TPU
+scaling axes for SAU rendering are:
+
+- **voices** (data-parallel): independent carrier trees summed into one
+  stereo mix (sau/generator.c:863-869) -- shard voices across devices,
+  ``psum`` the mix over ICI.
+- **time** (sequence-parallel): sample blocks; integer phasors are
+  prefix sums, so per-chunk increment totals are exchanged with an
+  ``all_gather`` and each device offsets its local cumsum -- a
+  parallel scan over the mesh's time axis.
+- **scripts** (batch): independent renders, trivially sharded.
+
+``render_fm_bank`` below is the mesh-parallel bulk-polyphony kernel:
+an FM voice bank (carrier + modulator per voice, swept freq/amp/pan)
+with both axes active. It is the multi-chip compile target used by
+``__graft_entry__.dryrun_multichip`` and the poly-stress benchmark.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import jdsp
+
+f32 = jnp.float32
+u32 = jnp.uint32
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    """Mesh over the first n devices: 2D (voices x time) when there are
+    enough devices for both axes, else 1D over voices."""
+    devs = np.asarray(jax.devices()[:n_devices])
+    if n_devices >= 4 and n_devices % 2 == 0:
+        return Mesh(devs.reshape(n_devices // 2, 2), ('voices', 'time'))
+    return Mesh(devs.reshape(n_devices), ('voices',))
+
+
+def _fm_voice_chunk(phase_c, phase_m, freq, ratio, index, amp, pan,
+                    n_local, t0):
+    """Render one time chunk of an FM voice bank.
+
+    phase_c/phase_m: (V,) u32 carrier/modulator phase at chunk start.
+    freq: (V,) Hz; ratio: modulator ratio; index: PM index; amp, pan:
+    (V,). Returns (mix (n_local, 2), phase_c', phase_m')."""
+    coeff = np.float32(4294967296.0 / 96000.0)
+    inc_c = jdsp.ftoi(coeff * freq).astype(u32)          # (V,)
+    inc_m = jdsp.ftoi(coeff * freq * ratio).astype(u32)
+    i = jnp.arange(1, n_local + 1, dtype=u32)            # (T,)
+    ph_m = phase_m[:, None] + inc_m[:, None] * i[None, :]
+    luts, piluts = jdsp.get_tables()
+    pilut = piluts[0]
+    # modulator: plain PILUT sine via phase-pair differences
+    pm_prev = jnp.concatenate([phase_m[:, None], ph_m[:, :-1]], axis=1)
+    s_m, _ = jdsp.wosc_diff(pilut, jnp.int32(0), pm_prev, ph_m)
+    ofs = jdsp.ftoi(s_m * index[:, None] * jdsp.P31).astype(u32)
+    ph_c = phase_c[:, None] + inc_c[:, None] * i[None, :] + ofs
+    pc_prev = jnp.concatenate(
+        [phase_c[:, None] + ofs[:, :1], ph_c[:, :-1]], axis=1)
+    s_c, _ = jdsp.wosc_diff(pilut, jnp.int32(0), pc_prev, ph_c)
+    s = s_c * amp[:, None]
+    s_r = s * pan[:, None]
+    mix = jnp.stack([(s - s_r).sum(0), (s + s_r).sum(0)], axis=-1)
+    return mix, ph_c[:, -1], ph_m[:, -1] - ofs[:, -1] * 0  # mod phase
+
+
+def render_fm_bank(mesh: Mesh, freq, ratio, index, amp, pan, n_samples,
+                   donate: bool = False):
+    """Mesh-parallel FM voice bank render.
+
+    freq/ratio/index/amp/pan: (V,) float32, V divisible by the mesh's
+    'voices' axis; n_samples divisible by the 'time' axis (if present).
+    Returns the stereo mix (n_samples, 2), replicated."""
+    axes = mesh.axis_names
+    has_time = 'time' in axes
+    vspec = P('voices')
+    n_t = mesh.shape['time'] if has_time else 1
+    n_local = n_samples // n_t
+
+    def step(freq, ratio, index, amp, pan):
+        vidx = jax.lax.axis_index('voices')
+        tidx = jax.lax.axis_index('time') if has_time else 0
+        coeff = np.float32(4294967296.0 / 96000.0)
+        inc_c = jdsp.ftoi(coeff * freq).astype(u32)
+        inc_m = jdsp.ftoi(coeff * freq * ratio).astype(u32)
+        # time-parallel phasor: phases at this chunk's start are the
+        # increments times the global start sample (exact u32 wrap)
+        t0 = (tidx * n_local).astype(u32) if has_time else np.uint32(0)
+        phase_c0 = inc_c * t0
+        phase_m0 = inc_m * t0
+        mix, _, _ = _fm_voice_chunk(phase_c0, phase_m0, freq, ratio,
+                                    index, amp, pan, n_local, t0)
+        # reduce voices over ICI; time chunks stay sharded on axis 0
+        mix = jax.lax.psum(mix, 'voices')
+        return mix
+
+    in_specs = (vspec,) * 5
+    out_spec = P('time') if has_time else P()
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec)
+    return fn(freq, ratio, index, amp, pan)
+
+
+def sharded_args(mesh: Mesh, n_voices, n_samples, seed=0):
+    """Example argument set for render_fm_bank, placed on the mesh."""
+    rng = np.random.RandomState(seed)
+    vdev = mesh.shape['voices']
+    v = max(n_voices - n_voices % vdev, vdev)
+    freq = (110.0 * 2.0 ** (rng.randint(0, 36, v) / 12.0)).astype(
+        np.float32)
+    ratio = rng.choice([0.5, 1.0, 1.5, 2.0, 3.0], v).astype(np.float32)
+    index = rng.uniform(0.0, 2.0, v).astype(np.float32)
+    amp = np.full(v, 1.0 / v, np.float32)
+    pan = rng.uniform(-1.0, 1.0, v).astype(np.float32)
+    sh = NamedSharding(mesh, P('voices'))
+    args = tuple(jax.device_put(x, sh)
+                 for x in (freq, ratio, index, amp, pan))
+    return args, n_samples

@@ -19,6 +19,10 @@ from typing import Dict
 import numpy as np
 
 import jax
+
+# exact u32/u64 phase arithmetic requires 64-bit integer support
+jax.config.update('jax_enable_x64', True)
+
 import jax.numpy as jnp
 
 from ..dsp import prim
