@@ -13,11 +13,22 @@ from __future__ import annotations
 
 import numpy as np
 
+import ctypes
+
 from ..dsp import lines as L
 from ..dsp import prim
 from ..dsp import wavetables as W
 from ..lang import program as P
+from ..native import get_lib as _get_native
 from .linestate import LineState
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
 f32 = np.float32
 BUF_LEN = 1024
@@ -140,6 +151,25 @@ class WOsc:
             return np.zeros(0, dtype=f32)
         if self.flags & OSC_RESET:
             self._reset(int(phase_buf[0]))
+        lib = _get_native()
+        if lib is not None:
+            out = np.empty(length, dtype=f32)
+            pb = np.ascontiguousarray(phase_buf, dtype=np.uint32)
+            pp = np.array([self.prev_phase], dtype=np.uint32)
+            pIs = np.array([self.prev_Is], dtype=np.float64)
+            ps = np.array([self.prev_s], dtype=f32)
+            lib.wosc_run(_f32p(out), _u32p(pb), length,
+                         _f32p(W.get_tables()[1][self.wave]),
+                         ctypes.c_float(W.dvscale(self.wave)),
+                         ctypes.c_float(W.dvoffset(self.wave)),
+                         _u32p(pp),
+                         pIs.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_double)),
+                         _f32p(ps))
+            self.prev_phase = int(pp[0])
+            self.prev_Is = float(pIs[0])
+            self.prev_s = float(ps[0])
+            return out
         lut = W.get_tables()[1][self.wave]
         diff_scale = W.dvscale(self.wave)
         diff_offset = W.dvoffset(self.wave)
@@ -181,6 +211,26 @@ class WOsc:
             return out
         if self.flags & OSC_RESET:
             self._reset(int(phase_buf[0]))
+        lib = _get_native()
+        if lib is not None:
+            pb = np.ascontiguousarray(phase_buf, dtype=np.uint32)
+            ab = np.ascontiguousarray(pm_abuf, dtype=f32)
+            pp = np.array([self.prev_phase], dtype=np.uint32)
+            pIs = np.array([self.prev_Is], dtype=np.float64)
+            ps = np.array([self.prev_s], dtype=f32)
+            fb = np.array([self.fb_s], dtype=f32)
+            lib.wosc_run_selfmod(
+                _f32p(out), _u32p(pb), length, _f32p(ab),
+                _f32p(W.get_tables()[1][self.wave]),
+                ctypes.c_float(W.dvscale(self.wave)),
+                ctypes.c_float(W.dvoffset(self.wave)), _u32p(pp),
+                pIs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                _f32p(ps), _f32p(fb))
+            self.prev_phase = int(pp[0])
+            self.prev_Is = float(pIs[0])
+            self.prev_s = float(ps[0])
+            self.fb_s = float(fb[0])
+            return out
         lut = W.get_tables()[1][self.wave]
         diff_scale = W.dvscale(self.wave)
         diff_offset = W.dvoffset(self.wave)

@@ -18,10 +18,22 @@ from typing import Dict
 
 import numpy as np
 
+import os
+
 import jax
 
 # exact u32/u64 phase arithmetic requires 64-bit integer support
 jax.config.update('jax_enable_x64', True)
+# TPU (Mosaic) compiles of gather-bearing scan bodies are expensive;
+# cache compilations persistently across processes
+_cache_dir = os.environ.get('SAUGNS_TPU_CACHE',
+                            os.path.expanduser('~/.cache/saugns_tpu_xla'))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 
@@ -92,9 +104,10 @@ def make_state(plan: RenderPlan):
 
 # -- line state machine ------------------------------------------------------
 
-def line_run_vec(ls, B, length, mulbuf):
+def line_run_vec(ls, B, length, mulbuf, static_type=None):
     """sauLine_run vectorized over one (op, slot) scalar state ``ls``
-    (dict of scalars). Returns (out (B,), new_ls)."""
+    (dict of scalars). ``static_type``: plan-baked fill shape (python
+    int) to prune the 13-way dispatch. Returns (out (B,), new_ls)."""
     v0 = ls['v0']
     vt = ls['vt']
     pos = ls['pos']
@@ -113,7 +126,8 @@ def line_run_vec(ls, B, length, mulbuf):
     idx = jnp.arange(B, dtype=i32)
     remaining = jnp.maximum(end - pos, 0)
     lg = jnp.where(goal, jnp.minimum(remaining, length), 0)
-    fillv = jdsp.line_fill(typ, (pos + idx).astype(u32), end, v0, vt)
+    fillv = jdsp.line_fill(typ if static_type is None else static_type,
+                           (pos + idx).astype(u32), end, v0, vt)
     if has_mul:
         fillv = jnp.where(gratio, fillv * mulbuf, fillv)
     adv = jnp.where(goal, lg, jnp.minimum(remaining, length))
@@ -459,7 +473,8 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
 
             for si, s in enumerate(sig):
                 (kind, inst, dst, a, b, c, line, wave_env, layer,
-                 skip_line, freq_buf_id, _par) = s
+                 skip_line, freq_buf_id, _par, wave, ntype, ltype,
+                 ras) = s
                 op = stage_op[si]
                 v = stage_voices[si]
                 if inst >= 0 and not inst_done[inst]:
@@ -477,7 +492,8 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     slot = line
                     mul = bufs.get(a) if a >= 0 else None
                     ls = _gather_line(st, op, slot)
-                    out, nls = line_run_vec(ls, B, length, mul)
+                    out, nls = line_run_vec(ls, B, length, mul,
+                                            static_type=ltype)
                     bufs[dst] = out
                     st = _scatter_line(st, op, slot, nls, gate)
                 elif kind == K_RANGEMOD:
@@ -490,7 +506,7 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     bufs[dst] = jnp.ones(B, f32)
                 elif kind == K_NOISE:
                     out, nprev = jdsp.noise_run(
-                        st['ntype'][op], st['nn'][op], st['nprev'][op],
+                        ntype, st['nn'][op], st['nprev'][op],
                         length, B)
                     bufs[dst] = out
                     st['nn'] = st['nn'].at[op].set(
@@ -503,7 +519,7 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     freq = bufs[a]
                     incs = jdsp.ftoi(coeff * freq).astype(u32)
                     incs = jnp.where(mask, incs, np.uint32(0))
-                    run = jnp.cumsum(incs, dtype=u32) + st['phase'][op]
+                    run = jdsp.prefix_sum(incs) + st['phase'][op]
                     if b >= 0 and c >= 0:
                         s_pofs = bufs[b] + bufs[c] \
                             * jdsp.HUMMID_INV * freq
@@ -520,12 +536,11 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                         jnp.where(gate & (length > 0), run[B - 1],
                                   st['phase'][op]))
                 elif kind in (K_WRUN, K_WRUN_SELF):
-                    wave = st['wave'][op]
                     pilut = piluts[wave]
                     reset = (st['wreset'][op] != 0) & (length > 0)
                     if kind == K_WRUN:
-                        out, npp, nps = jdsp.wosc_run_vec(
-                            pilut, wave, bufs[a], st['wpphase'][op],
+                        out, npp, nps = jdsp.wosc_run_taps(
+                            wave, bufs[a], st['wpphase'][op],
                             st['wps'][op], reset, length)
                     else:
                         out, npp, nps, nfb = jdsp.wosc_selfmod_scan(
@@ -544,14 +559,13 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                         jnp.where(upd, 0, st['wreset'][op]))
                 elif kind == K_RCYCLE:
                     freq = bufs[a]
-                    r2x = st['rrate2x'][op]
-                    coeff_e = jnp.where(r2x, coeff * np.float32(2),
-                                        coeff)
-                    pscale = jnp.where(r2x, jdsp.P31 * np.float32(2),
-                                       jdsp.P31)
+                    r2x = ras[5]
+                    coeff_e = np.float32(coeff * 2) if r2x else coeff
+                    pscale = np.float32(jdsp.P31 * 2) if r2x \
+                        else jdsp.P31
                     incs = jdsp.ftoi(coeff_e * freq).astype(u64)
                     incs = jnp.where(mask, incs, np.uint64(0))
-                    csum = jnp.cumsum(incs, dtype=u64)
+                    csum = jdsp.prefix_sum(incs)
                     base = st['rcp'][op] + csum - incs
                     if b >= 0 and c >= 0:
                         s_pofs = bufs[b] + bufs[c] \
@@ -574,11 +588,7 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                                   st['rcp'][op] + csum[B - 1],
                                   st['rcp'][op]))
                 elif kind in (K_RRUN, K_RRUN_SELF):
-                    func = st['rfunc'][op]
-                    rline = st['rline'][op]
-                    level = st['rlevel'][op]
-                    alpha = st['ralpha'][op]
-                    oflags = st['rflags'][op]
+                    rline, func, level, alpha, oflags, _r2x = ras
                     if kind == K_RRUN:
                         av, bv = jdsp.rasg_map(func, level, alpha,
                                                oflags, bufs[a])
@@ -661,7 +671,6 @@ class JaxGenerator:
     def _render_f32(self):
         """Render the whole signal; returns float32 (total, 2)."""
         plan = self.plan
-        B = plan.block
         st = make_state(plan)
         recs = {k: jnp.asarray(v) for k, v in plan.rec_arrays.items()}
         pieces = []
@@ -673,6 +682,7 @@ class JaxGenerator:
             inst_parent = tuple(i.parent for i in ep.instances)
             stage_voices = tuple(s.voice for s in ep.stages)
             nb = len(ep.blk_len)
+            B = ep.block
             key = (sig, n_stages, n_insts, plan.n_bufs, B,
                    plan.amp_scale, inst_parent, stage_voices,
                    self.srate, nb, plan.n_ops, plan.n_voices,

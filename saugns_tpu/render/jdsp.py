@@ -41,11 +41,29 @@ P31 = np.float32(2.0 ** 31)
 P32F = np.float32(2.0 ** 32)
 
 
+def umul32(a, b):
+    """Exact u32 * u32 (mod 2^32) via three 11-bit limbs multiplied in
+    float32 -- variable x variable 32-bit integer multiply is ~60x
+    slower than float multiply on the TPU VPU."""
+    m11 = np.uint32(0x7ff)
+    a0 = (a & m11).astype(f32)
+    a1 = ((a >> np.uint32(11)) & m11).astype(f32)
+    a2 = (a >> np.uint32(22)).astype(f32)
+    b0 = (b & m11).astype(f32)
+    b1 = ((b >> np.uint32(11)) & m11).astype(f32)
+    b2 = (b >> np.uint32(22)).astype(f32)
+    p00 = (a0 * b0).astype(u32)
+    p01 = (a0 * b1).astype(u32) + (a1 * b0).astype(u32)
+    p02 = (a0 * b2).astype(u32) + (a1 * b1).astype(u32) \
+        + (a2 * b0).astype(u32)
+    return p00 + (p01 << np.uint32(11)) + (p02 << np.uint32(22))
+
+
 def ranfast32(n):
     """sau_ranfast32 (sau/math.h:297-303); uint32 in/out."""
     s = n.astype(u32) * FIBH32
     s = s ^ (s >> np.uint32(14))
-    s = (s | np.uint32(1)) * s
+    s = umul32(s | np.uint32(1), s)
     s = s ^ (s >> np.uint32(13))
     return s
 
@@ -106,6 +124,35 @@ def foldhd32(s):
     folded = np.uint32(((1 << 31) + (1 << 30)) & 0xffffffff) - s
     s = jnp.where(cond, folded, s)
     return (s - np.uint32(1 << 29)) * np.uint32(2)
+
+
+def prefix_sum(x):
+    """Inclusive prefix sum via log-depth associative scan -- on TPU
+    jnp.cumsum lowers to a reduce-window that blows scoped VMEM for
+    wide integer windows; associative_scan lowers to shifts+adds."""
+    return jax.lax.associative_scan(jnp.add, x)
+
+
+def select_by(index, branches):
+    """Branchless k-way select: computes every branch and picks one.
+    Much cheaper to compile (and usually to run) on TPU than
+    lax.switch inside a scan body; the branches fuse into one VPU
+    kernel. A static (python int) index picks one branch at trace
+    time."""
+    if isinstance(index, int):
+        return branches[index]
+    out = branches[0]
+    for k in range(1, len(branches)):
+        out = jnp.where(index == k, branches[k], out)
+    return out
+
+
+def select_lazy(index, fns, *args):
+    """Like select_by but with branch thunks: a static index traces
+    only the selected branch."""
+    if isinstance(index, int):
+        return fns[index](*args)
+    return select_by(index, [f(*args) for f in fns])
 
 
 # -- line shapes -------------------------------------------------------------
@@ -188,7 +235,7 @@ def line_val(line_type, x, a, b):
 
     fns = [v_cos, v_lin, v_sah, v_exp, v_log, v_xpe, v_lge, v_sqe,
            v_cub, v_smo, v_ncl, v_nhl, v_uwh]
-    return jax.lax.switch(jnp.clip(line_type, 0, 12), fns, x, a, b)
+    return select_lazy(line_type, fns, x, a, b)
 
 
 def line_fill(line_type, i_pos, end, v0, vt):
@@ -260,7 +307,7 @@ def line_fill(line_type, i_pos, end, v0, vt):
 
     fns = [f_cos, f_lin, f_sah, f_exp, f_log, f_xpe, f_lge, f_sqe,
            f_cub, f_smo, f_ncl, f_nhl, f_uwh]
-    return jax.lax.switch(jnp.clip(line_type, 0, 12), fns, 0)
+    return select_lazy(line_type, fns, 0)
 
 
 def line_val_at(line_type, pos, end, v0, vt):
@@ -460,112 +507,147 @@ def wosc_selfmod_scan(pilut, wave, phase_buf, abuf, prev_phase, prev_s,
 
 def rasg_map(func, level, alpha, oflags, cycle):
     """Endpoint pair map (rasg.h:296-683). ``cycle``: uint32 vector.
-    Returns (a, b) float32."""
+    Returns (a, b) float32. Static (python int) func/level/oflags
+    prune to a single branch at trace time."""
     u1 = np.uint32(1)
+    static = isinstance(oflags, int)
     violet = (oflags & P.RAS_O_VIOLET) != 0
-
-    def m_urand(_):
-        def plain(_):
-            a = asi32(ranfast32(cycle)).astype(f32) * SCALE31
-            b = asi32(ranfast32(cycle + u1)).astype(f32) * SCALE31
-            return a, b
-
-        def vio(_):
-            s0 = ranfast32(cycle - u1) // np.uint32(2)
-            s1 = ranfast32(cycle) // np.uint32(2)
-            s2 = ranfast32(cycle + u1) // np.uint32(2)
-            a = asi32(s1 - s0).astype(f32) * SCALE31
-            b = asi32(s2 - s1).astype(f32) * SCALE31
-            return a, b
-        return jax.lax.cond(violet, vio, plain, 0)
-
-    def m_gauss(_):
-        return franssgauss32(cycle), franssgauss32(cycle + u1)
+    lvl = level if isinstance(level, int) else level.astype(i32)
+    r_m1 = ranfast32(cycle - u1)
+    r_0 = ranfast32(cycle)
+    r_p1 = ranfast32(cycle + u1)
 
     def _sar(x):
-        return asu32(asi32(x) >> level.astype(i32))
+        return asu32(asi32(x) >> lvl)
 
     def _divi2(x_u32):
         xi = asi32(x_u32)
         q = jnp.sign(xi) * (jnp.abs(xi) // 2)
         return asu32(q.astype(i32))
 
-    def m_bin(_):
-        def plain(_):
+    def m_urand():
+        def plain():
+            a = asi32(r_0).astype(f32) * SCALE31
+            b = asi32(r_p1).astype(f32) * SCALE31
+            return a, b
+
+        def vio():
+            v0h = r_m1 // np.uint32(2)
+            v1h = r_0 // np.uint32(2)
+            v2h = r_p1 // np.uint32(2)
+            a = asi32(v1h - v0h).astype(f32) * SCALE31
+            b = asi32(v2h - v1h).astype(f32) * SCALE31
+            return a, b
+        return _pick(violet, vio, plain, static)
+
+    def m_gauss():
+        return franssgauss32(cycle), franssgauss32(cycle + u1)
+
+    def m_bin():
+        def plain():
             offs = np.uint32(0x7fffffff) + (cycle & u1) * np.uint32(2)
-            s1 = _sar(ranfast32(cycle)) + offs
-            s2 = _sar(ranfast32(cycle + u1)) - offs
+            s1 = _sar(r_0) + offs
+            s2 = _sar(r_p1) - offs
             return (asi32(s1).astype(f32) * SCALE31,
                     asi32(s2).astype(f32) * SCALE31)
 
-        def vio(_):
+        def vio():
             scale_diff = np.float32(1.0) - (
-                jnp.asarray(0x7fffffff, i32) >> level.astype(i32)
-            ).astype(f32) * SCALE31
-            scale = (np.float32(1.0) + scale_diff * scale_diff) * SCALE31
+                jnp.asarray(0x7fffffff, i32) >> lvl).astype(f32) \
+                * SCALE31
+            vscale = (np.float32(1.0) + scale_diff * scale_diff) \
+                * SCALE31
             sb = (cycle & u1) << np.uint32(31)
             sb_flip = np.uint32(1 << 31) - sb
-            s0 = _divi2(_sar(ranfast32(cycle - u1)) + sb)
-            s1 = _divi2(_sar(ranfast32(cycle)) + sb_flip)
-            s2 = _divi2(_sar(ranfast32(cycle + u1)) + sb)
-            return (asi32(s1 - s0).astype(f32) * scale,
-                    asi32(s2 - s1).astype(f32) * scale)
-        return jax.lax.cond(violet, vio, plain, 0)
+            vb0 = _divi2(_sar(r_m1) + sb)
+            vb1 = _divi2(_sar(r_0) + sb_flip)
+            vb2 = _divi2(_sar(r_p1) + sb)
+            return (asi32(vb1 - vb0).astype(f32) * vscale,
+                    asi32(vb2 - vb1).astype(f32) * vscale)
+        return _pick(violet, vio, plain, static)
 
-    def m_tern(_):
+    def m_tern():
         sb = (cycle & u1) << np.uint32(31)
         sb_flip = np.uint32(1 << 31) - sb
-        s1 = _sar(ranfast32(cycle)) + sb_flip
-        s2 = _sar(ranfast32(cycle + u1)) + sb
+        s1 = _sar(r_0) + sb_flip
+        s2 = _sar(r_p1) + sb
         return (asi32(s1).astype(f32) * SCALE31,
                 asi32(s2).astype(f32) * SCALE31)
 
-    def m_fixed(_):
+    def m_fixed():
         sign = (1 - (cycle & u1).astype(i32) * 2)
+        imax = jnp.int32(0x7fffffff)
 
-        def simple(_):
+        def simple():
             a = sign.astype(f32)
             return a, -a
 
-        def plain(_):
-            imax = jnp.int32(0x7fffffff)
-            r1 = (asi32(ranfast32(cycle)) >> level.astype(i32)) - imax
-            r2 = (asi32(ranfast32(cycle + u1)) >> level.astype(i32)) \
-                - imax
-            a = (-sign * r1).astype(f32) * SCALE31
-            b = (sign * r2).astype(f32) * SCALE31
-            return a, b
+        def plain():
+            r1 = (asi32(r_0) >> lvl) - imax
+            r2 = (asi32(r_p1) >> lvl) - imax
+            return ((-sign * r1).astype(f32) * SCALE31,
+                    (sign * r2).astype(f32) * SCALE31)
 
-        def vio(_):
-            imax = jnp.int32(0x7fffffff)
-            r0 = (asi32(ranfast32(cycle - u1)) >> level.astype(i32)) \
-                - imax
-            r1 = (asi32(ranfast32(cycle)) >> level.astype(i32)) - imax
-            r2 = (asi32(ranfast32(cycle + u1)) >> level.astype(i32)) \
-                - imax
+        def vio():
+            r0 = (asi32(r_m1) >> lvl) - imax
+            r1 = (asi32(r_0) >> lvl) - imax
+            r2 = (asi32(r_p1) >> lvl) - imax
             s0 = _divi2(asu32(sign * r0))
             s1 = _divi2(asu32(-sign * r1))
             s2 = _divi2(asu32(sign * r2))
             return (asi32(s1 - s0).astype(f32) * SCALE31,
                     asi32(s2 - s1).astype(f32) * SCALE31)
-        return jax.lax.cond(
-            level >= P.ras_level(9), simple,
-            lambda _: jax.lax.cond(violet, vio, plain, 0), 0)
+        hi = (lvl >= P.ras_level(9)) if isinstance(lvl, int) \
+            else (level >= P.ras_level(9))
+        return _pick(hi, simple,
+                     lambda: _pick(violet, vio, plain, static),
+                     static and isinstance(lvl, int))
 
-    def m_addrec(_):
-        s0 = cycle * alpha
-        s1 = (cycle + u1) * alpha
+    def m_addrec():
+        al = np.uint32(alpha) if isinstance(alpha, int) else alpha
+        s0 = umul32(cycle, al)
+        s1 = umul32(cycle + u1, al)
         return (asi32(s0).astype(f32) * SCALE31,
                 asi32(s1).astype(f32) * SCALE31)
 
-    return jax.lax.switch(jnp.clip(func, 0, 5),
-                          [m_urand, m_gauss, m_bin, m_tern, m_fixed,
-                           m_addrec], 0)
+    fns = [m_urand, m_gauss, m_bin, m_tern, m_fixed, m_addrec]
+    if isinstance(func, int):
+        return fns[func]()
+    pairs = [f() for f in fns]
+    a = select_by(func, [p[0] for p in pairs])
+    b = select_by(func, [p[1] for p in pairs])
+    return a, b
+
+
+def _pick(cond, tfn, ffn, static):
+    """Two-way pick; static python condition prunes at trace time."""
+    if static or isinstance(cond, bool):
+        return tfn() if cond else ffn()
+    ta, tb = tfn()
+    fa, fb = ffn()
+    return jnp.where(cond, ta, fa), jnp.where(cond, tb, fb)
 
 
 def rasg_shape(line, oflags, phase, a, b):
-    """Mode-flag post-pass + line map (rasg.h:692-743)."""
+    """Mode-flag post-pass + line map (rasg.h:692-743). Static
+    (python int) line/oflags prune at trace time."""
     one = np.float32(1.0)
+    static = isinstance(oflags, int)
+    if static:
+        if oflags & P.RAS_O_PERLIN:
+            pa = np.float32(1.0) if oflags & (P.RAS_O_HALFSHAPE |
+                                              P.RAS_O_ZIGZAG) \
+                else np.float32(PERLIN_AMP[line])
+            a = a * (pa * phase)
+            b = b * (pa * (phase - one))
+        if oflags & P.RAS_O_HALFSHAPE:
+            a, b = jnp.maximum(a, b), jnp.minimum(a, b)
+        if oflags & P.RAS_O_ZIGZAG:
+            a, b = b, a
+        if oflags & P.RAS_O_SQUARE:
+            a = a * jnp.abs(a)
+            b = b * jnp.abs(b)
+        return line_val(line, phase, a, b)
     perlin_amp = jnp.where(
         (oflags & (P.RAS_O_HALFSHAPE | P.RAS_O_ZIGZAG)) != 0,
         one, jnp.asarray(PERLIN_AMP)[jnp.clip(line, 0, 12)])
@@ -617,51 +699,250 @@ def rasg_selfmod_scan(func, line, level, alpha, oflags, phase_buf,
 
 def noise_run(ntype, n0, nprev, length, B):
     """sauNoiseG_run (noise.h:177-185). Returns (out, new_prev).
-    ``n0``: u32 counter start; state advance by ``length`` is handled
-    by the caller (n0 + length)."""
+    Static (python int) ntype prunes to one color at trace time."""
     idx = jnp.arange(B, dtype=u32)
     n = n0 + idx
     mask = jnp.arange(B, dtype=i32) < length
     li = jnp.maximum(length - 1, 0)
 
-    def t_wh(_):
+    def t_wh():
         return asi32(ranfast32(n)).astype(f32) * SCALE31, nprev
 
-    def t_gw(_):
+    def t_gw():
         return franssgauss32(n), nprev
 
-    def t_bw(_):
-        s = (asi32(ranfast32(n)) >> 31) * 2 + 1
-        return s.astype(f32), nprev
+    def _sbin():
+        return (asi32(ranfast32(n)) >> 31) * 2 + 1
 
-    def t_tw(_):
-        s = (asi32(ranfast32(n)) >> 31) * 2 + 1
-        return jnp.where((n & np.uint32(1)).astype(bool),
-                         s.astype(f32), np.float32(0)), nprev
+    def t_bw():
+        return _sbin().astype(f32), nprev
 
-    def t_re(_):
-        s = asi32(ranfast32(n))
-        inc = asu32(s >> 6)
-        inc = jnp.where(mask, inc, np.uint32(0))
-        sums = nprev + jnp.cumsum(inc, dtype=u32)
+    def t_tw():
+        odd = (n & np.uint32(1)).astype(bool)
+        return jnp.where(odd, _sbin().astype(f32), np.float32(0)), \
+            nprev
+
+    def t_re():
+        inc = jnp.where(mask, asu32(asi32(ranfast32(n)) >> 6),
+                        np.uint32(0))
+        sums = nprev + prefix_sum(inc)
         out = asi32(foldhd32(sums)).astype(f32) * SCALE31
-        new_prev = jnp.where(length > 0, sums[li], nprev)
-        return out, new_prev
+        return out, jnp.where(length > 0, sums[li], nprev)
 
-    def t_vi(_):
-        s1 = ranfast32(n)
-        s0 = jnp.concatenate([jnp.reshape(nprev, (1,)), s1[:-1]])
-        out = asi32(s1 // np.uint32(2)
-                    - s0 // np.uint32(2)).astype(f32) * SCALE31
-        return out, jnp.where(length > 0, s1[li], nprev)
+    def t_vi():
+        r = ranfast32(n)
+        s0v = jnp.concatenate([jnp.reshape(nprev, (1,)), r[:-1]])
+        out = asi32(r // np.uint32(2)
+                    - s0v // np.uint32(2)).astype(f32) * SCALE31
+        return out, jnp.where(length > 0, r[li], nprev)
 
-    def t_bv(_):
-        s1 = asi32(ranfast32(n)) >> 31
-        s1 = jnp.where((n & np.uint32(1)).astype(bool),
-                       s1 * 2 + 1, 0)
-        s0 = jnp.concatenate([jnp.reshape(asi32(nprev), (1,)), s1[:-1]])
-        out = (s1 - s0).astype(f32)
-        return out, jnp.where(length > 0, asu32(s1[li]), nprev)
+    def t_bv():
+        odd = (n & np.uint32(1)).astype(bool)
+        sb1 = jnp.where(odd, _sbin(), 0)
+        sb0 = jnp.concatenate([jnp.reshape(asi32(nprev), (1,)),
+                               sb1[:-1]])
+        out = (sb1 - sb0).astype(f32)
+        return out, jnp.where(length > 0, asu32(sb1[li]), nprev)
 
-    return jax.lax.switch(jnp.clip(ntype, 0, 6),
-                          [t_wh, t_gw, t_bw, t_tw, t_re, t_vi, t_bv], 0)
+    fns = [t_wh, t_gw, t_bw, t_tw, t_re, t_vi, t_bv]
+    if isinstance(ntype, int):
+        return fns[ntype]()
+    pairs = [f() for f in fns]
+    out = select_by(ntype, [p[0] for p in pairs])
+    new_prev = select_by(ntype, [p[1] for p in pairs])
+    return out, new_prev
+
+
+# -- Pallas table gather (TPU) -------------------------------------------------
+#
+# TPU has no fast vector gather; XLA lowers table lookups to serialized
+# scalar loads (~30 ns/element + ~0.7 ms fixed, measured on v5e) and
+# Mosaic compiles of gather ops take minutes. The oscillator needs 4
+# Hermite taps per sample, so lookups are the hot path. This kernel
+# turns the lookup into an MXU one-hot matmul: one-hot rows are exact
+# in bfloat16, and the float32 tap matrix is split into three bfloat16
+# components (exact: 8+8+8 mantissa bits), so
+#   taps = onehot @ [T1|T2|T3]  summed per component
+# reproduces the float32 table values exactly.
+
+_tap_mats = None
+
+
+def _build_tap_mats():
+    """(12, 2048, 12) bf16: per wave, per cell, taps s[-1..2] split
+    into 3 bf16 components laid out [t1(4) | t2(4) | t3(4)]."""
+    global _tap_mats
+    if _tap_mats is not None:
+        return _tap_mats
+    import ml_dtypes
+    _, piluts = W.get_tables()
+    piluts = np.asarray(piluts)
+    idx = np.arange(2048)
+    taps = np.stack([piluts[:, (idx + k) & 2047] for k in (-1, 0, 1, 2)],
+                    axis=-1)  # (12, 2048, 4) f32
+    t1 = taps.astype(ml_dtypes.bfloat16).astype(np.float32)
+    r = taps - t1
+    t2 = r.astype(ml_dtypes.bfloat16).astype(np.float32)
+    t3 = (r - t2)
+    mats = np.concatenate([t1, t2, t3], axis=-1)
+    # pad the tap axis to the 128-lane TPU tile width; keep float32
+    # storage (values are bf16-exact, so the MXU's f32->bf16 input
+    # truncation is lossless; bf16 storage itself forces a slow VPU
+    # relayout before the dot)
+    pad = np.zeros((mats.shape[0], mats.shape[1], 128 - mats.shape[2]),
+                   np.float32)
+    mats = np.concatenate([mats, pad], axis=-1).astype(np.float32)
+    with jax.ensure_compile_time_eval():
+        _tap_mats = jnp.asarray(mats)
+    return _tap_mats
+
+
+def _gather_taps_pallas(cells, tapmat):
+    """cells: (B,) int32 in [0, 2048); tapmat: (2048, 128) f32 with
+    bf16-exact component values (taps in columns 0..11; constant).
+    Returns (B, 128) f32 exact tap component rows. B: multiple of
+    2048."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = cells.shape[0]
+    TILE = 2048  # samples per kernel invocation
+    grid = (B // TILE,)
+    cells2 = cells.reshape(B // 256, 256)
+
+    def kernel(idx_ref, t_ref, out_ref):
+        # 8 rows of 256 indices; no reshapes (Mosaic-unfriendly)
+        for r in range(TILE // 256):
+            idx = idx_ref[r, :]
+            oh = (jax.lax.broadcasted_iota(i32, (256, 2048), 1)
+                  == idx[:, None]).astype(f32)
+            out_ref[r * 256:(r + 1) * 256, :] = jnp.dot(
+                oh, t_ref[:], preferred_element_type=f32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((TILE // 256, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2048, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), f32),
+    )(cells2, tapmat)
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform in ('tpu', 'axon')
+    except Exception:
+        return False
+
+
+def gather_taps(cells, wave):
+    """Hermite taps (s[-1], s0, s1, s2) for each cell index; exact
+    float32 table values. ``wave`` must be a python int (the planner
+    bakes it per epoch). Uses the Pallas MXU one-hot kernel on TPU,
+    plain indexing elsewhere."""
+    assert isinstance(wave, int)
+    if _on_tpu() and cells.shape[0] % 2048 == 0:
+        mats = _build_tap_mats()
+        acc = _gather_taps_pallas(cells, mats[wave])
+        return acc[:, 0:4] + acc[:, 4:8] + acc[:, 8:12]
+    _, piluts = get_tables()
+    pilut = piluts[wave]
+    c = cells[:, None] + jnp.arange(-1, 3, dtype=i32)[None, :]
+    return pilut[c & LENMASK]
+
+
+def _padded_pilut(wave: int):
+    """pilut row padded so taps(cell) = padded[cell:cell+4]."""
+    _, piluts = get_tables()
+    row = piluts[wave]
+    return jnp.concatenate([row[-1:], row, row[:2]])
+
+
+def taps_at(cell, wave: int):
+    """Taps for one dynamic cell index (4,)."""
+    return jax.lax.dynamic_slice(_padded_pilut(wave),
+                                 (cell.astype(i32),), (4,))
+
+
+def _coeffs_from_taps(taps):
+    """c1, c2, c3 from tap rows (..., 4), difference form (exact in
+    f32 for smooth tables; see _hermite_coeffs)."""
+    s0 = taps[..., 0]
+    s1 = taps[..., 1]
+    s2 = taps[..., 2]
+    s3 = taps[..., 3]
+    half = np.float32(0.5)
+    d0 = s1 - s0
+    d1 = s2 - s1
+    d2 = s3 - s2
+    c1 = half * (d0 + d1)
+    c2 = np.float32(1.5) * d1 - d0 - half * d2
+    c3 = half * (d0 + d2) - d1
+    return c1, c2, c3
+
+
+def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
+                  length):
+    """Vectorized sauWOsc_run with plan-static wave: one MXU tap
+    gather per block; the previous sample's taps are the shifted
+    current taps. Same math as wosc_diff (compensated, cancellation-
+    free). Returns (out, new_prev_phase, new_prev_s)."""
+    B = phase_buf.shape[0]
+    idx = jnp.arange(B, dtype=i32)
+    p0 = phase_buf[0] - np.uint32(W.SLEN)
+    pp = jnp.where(reset, p0, prev_phase)
+    p_prev = jnp.concatenate([jnp.reshape(pp, (1,)), phase_buf[:-1]])
+    pd = asi32(phase_buf - p_prev)
+    cells2 = (phase_buf >> SLENBITS).astype(i32)
+    taps2 = gather_taps(cells2, wave)                    # (B, 4)
+    ptaps = taps_at(pp >> SLENBITS, wave)
+    taps1 = jnp.concatenate([jnp.reshape(ptaps, (1, 4)),
+                             taps2[:-1]], axis=0)
+    x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    x2 = (phase_buf & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    c1a, c2a, c3a = _coeffs_from_taps(taps1)
+    c1b, c2b, c3b = _coeffs_from_taps(taps2)
+    one = np.float32(1.0)
+    diff_scale = np.float32(W.dvscale(wave))
+    diff_offset = np.float32(W.dvoffset(wave))
+    valid = pd != 0
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    xf = diff_scale / pdf
+    # same cell: factored difference
+    q3 = x2 * x2 + x1 * x2 + x1 * x1
+    q2 = x2 + x1
+    t3h, t3l = _two_prod(c3a, q3)
+    t2h, t2l = _two_prod(c2a, q2)
+    bh, be = _two_sum(t3h, t2h)
+    bh, be2 = _two_sum(bh, c1a)
+    b_lo = be + be2 + t3l + t2l
+    m_same = (x2 - x1)
+    # cross cell: boundary split; mid = lut[i2] - lut[i1+1]
+    head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
+    tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
+    th, tl = _two_prod(one - x1, tailb)
+    mh, ml = _two_sum(taps2[:, 1], -taps1[:, 2])
+    dh, de = _two_sum(head_h, th)
+    dh, de2 = _two_sum(dh, mh)
+    d_lo = de + de2 + head_l + tl + ml
+    i1 = (p_prev >> SLENBITS).astype(i32)
+    same_cell = i1 == cells2
+    dIs_h = jnp.where(same_cell, bh * m_same, dh)
+    dIs_l = jnp.where(same_cell, b_lo * m_same, d_lo)
+    ph, pe = _two_prod(dIs_h, xf)
+    lo = pe + dIs_l * xf
+    sh, se = _two_sum(ph, diff_offset)
+    s_raw = sh + (se + lo)
+    # forward-fill pd == 0 positions
+    s_ext = jnp.concatenate([jnp.reshape(prev_s, (1,)), s_raw])
+    last_valid = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(valid, idx + 1, 0))
+    out = s_ext[last_valid]
+    has = length > 0
+    li = jnp.maximum(length - 1, 0)
+    new_pp = jnp.where(has, phase_buf[li], prev_phase)
+    new_ps = jnp.where(has, out[li], prev_s)
+    return out, new_pp, new_ps

@@ -26,8 +26,17 @@ import numpy as np
 from ..dsp import prim
 from ..lang import program as P
 
-BLOCK = 1024  # samples per block (any value works; semantics are
-              # split-independent given event alignment)
+BLOCK = 1024       # default/minimum block length
+BLOCK_CAP = 1 << 13  # upper bound on per-epoch block length
+
+def _round_block(n):
+    """Round a block length up to a TPU-friendly multiple of 1024,
+    clamped to [BLOCK, BLOCK_CAP]. Semantics are split-independent
+    given event alignment, so longer blocks only amortize fixed
+    per-scan-step cost."""
+    n = max(n, BLOCK)
+    n = min(n, BLOCK_CAP)
+    return -(-n // 1024) * 1024
 
 # stage kinds
 K_LINE = 0        # run line state into dst (optionally * mulbuf)
@@ -67,6 +76,11 @@ class Stage:
     skip_line: Tuple[int, ...] = ()  # line slots to skip-advance
     voice: int = -1
     freq_buf_id: int = 0   # for K_VMIX
+    # plan-baked mode state (epoch-static; see OpModel)
+    wave: int = 0          # K_WPHASE/K_WRUN*
+    ntype: int = 0         # K_NOISE
+    ltype: int = 1         # K_LINE fill shape
+    ras: tuple = (1, 0, 27, 0x9e3779b9, 0, True)  # K_RCYCLE/K_RRUN*
 
 
 @dataclass
@@ -96,18 +110,83 @@ class Epoch:
     blk_rec_hi: np.ndarray = None
     blk_stage_op: np.ndarray = None
     blk_inst_op: np.ndarray = None
+    block: int = BLOCK
 
 
 class OpModel:
-    """Host-tracked per-op graph/mode state for scheduling decisions."""
+    """Host-tracked per-op graph/mode state. All mode-ish state (wave,
+    noise color, ras options, line shapes) evolves deterministically
+    with events, so the planner bakes it into the stage schedule as
+    compile-time constants -- dynamic per-op table/branch selection is
+    expensive on TPU."""
 
-    __slots__ = ('type', 'mods', 'maybe_selfmod', 'prepared')
+    __slots__ = ('type', 'mods', 'maybe_selfmod', 'prepared', 'wave',
+                 'ntype', 'ras_line', 'ras_func', 'ras_level',
+                 'ras_alpha', 'ras_flags', 'ras_rate2x', 'ltype')
 
     def __init__(self):
         self.type = 0
         self.mods = [()] * 8  # use types 1..8 -> index 0..7
         self.maybe_selfmod = False
         self.prepared = False
+        self.wave = 0
+        self.ntype = 0
+        self.ras_line = 1
+        self.ras_func = 0
+        self.ras_level = P.ras_level(9)
+        self.ras_alpha = 0x9e3779b9
+        self.ras_flags = 0
+        self.ras_rate2x = True
+        self.ltype = [1] * 6  # line slots default SAU_LINE_N_lin
+
+    def apply_mode(self, od):
+        """Replicate update_op's mode effects (generator.c:283-343) and
+        line-type copies; returns True if any baked value changed."""
+        ch = False
+        params = od.params
+        t = od.type
+        if params & P.POPP_MODE:
+            if t == P.POPT_NOISE and self.ntype != od.mode_main:
+                self.ntype = od.mode_main
+                ch = True
+            elif t == P.POPT_WAVE and self.wave != od.mode_main:
+                self.wave = od.mode_main
+                ch = True
+            elif t == P.POPT_RASEG:
+                ras = od.mode_ras
+                fl = ras.flags
+                if fl & P.RAS_O_LINE_SET and self.ras_line != ras.line:
+                    self.ras_line = ras.line
+                    ch = True
+                if fl & P.RAS_O_FUNC_SET:
+                    if self.ras_func != ras.func:
+                        self.ras_func = ras.func
+                        ch = True
+                    fl_eff = fl
+                else:
+                    fl_eff = fl | self.ras_flags
+                if fl & P.RAS_O_LEVEL_SET and self.ras_level != ras.level:
+                    self.ras_level = ras.level
+                    ch = True
+                if fl & P.RAS_O_ASUBVAL_SET and \
+                        self.ras_alpha != ras.alpha:
+                    self.ras_alpha = ras.alpha
+                    ch = True
+                if self.ras_flags != fl_eff:
+                    self.ras_flags = fl_eff
+                    ch = True
+                r2x = not (fl_eff & P.RAS_O_HALFSHAPE)
+                if r2x != self.ras_rate2x:
+                    self.ras_rate2x = r2x
+                    ch = True
+        # line-shape types (sauLine_copy TYPE flag)
+        for sl, line in ((0, od.pan), (1, od.amp), (2, od.amp2),
+                         (3, od.freq), (4, od.freq2), (5, od.pm_a)):
+            if line is not None and (line.flags & P.LINEP_TYPE) and \
+                    self.ltype[sl] != line.type:
+                self.ltype[sl] = line.type
+                ch = True
+        return ch
 
 
 def ms2spl(ms, srate):
@@ -175,6 +254,8 @@ class RenderPlan:
                 if not om.prepared:
                     om.prepared = True
                     om.type = od.type
+                    graph_changed = True
+                if om.apply_mode(od):
                     graph_changed = True
                 for mi, fname in enumerate(P.OpData.MOD_FIELDS):
                     v = getattr(od, fname)
@@ -380,11 +461,12 @@ class RenderPlan:
             else:
                 freq = -1
             emit(Stage(K_LINE, inst=parent_inst, op=op, dst=par_buf,
-                       a=mulbuf, line=line_par, voice=voice))
+                       a=mulbuf, line=line_par, voice=voice,
+                       ltype=om.ltype[line_par]))
             if len(r_mods) > 0:
                 emit(Stage(K_LINE, inst=parent_inst, op=op,
                            dst=bufs + 1, a=mulbuf, line=line_rpar,
-                           voice=voice))
+                           voice=voice, ltype=om.ltype[line_rpar]))
                 for i, mid in enumerate(r_mods):
                     plan_block(bufs + 2, mid, parent_inst, voice, freq,
                                True, i != 0, visited)
@@ -407,7 +489,7 @@ class RenderPlan:
             if not use_self:
                 return False
             emit(Stage(K_LINE, inst=inst, op=op, dst=bufs, a=-1,
-                       line=L_PMA, voice=voice))
+                       line=L_PMA, voice=voice, ltype=om.ltype[L_PMA]))
             for mid in apmods:
                 plan_block(bufs, mid, inst, voice, freq, False, True,
                            visited)
@@ -442,7 +524,7 @@ class RenderPlan:
                                     L_AMP, L_AMP2, -1, -1, visited)
                 amp = bufs + 1
                 emit(Stage(K_NOISE, inst=inst, op=op, dst=bufs + 2,
-                           voice=voice))
+                           voice=voice, ntype=om.ntype))
                 emit(Stage(K_MIX, inst=inst, op=op, dst=mix_buf,
                            a=bufs + 2, b=amp, wave_env=wave_env,
                            layer=layer, voice=voice))
@@ -468,7 +550,8 @@ class RenderPlan:
                                    False, i != 0, visited)
                     fpm_buf = bufs + 4
                 emit(Stage(K_WPHASE, inst=inst, op=op, dst=phase_buf,
-                           a=freq, b=pm_buf, c=fpm_buf, voice=voice))
+                           a=freq, b=pm_buf, c=fpm_buf, voice=voice,
+                           wave=om.wave))
                 plan_param_rangemod(bufs + 3, om, op, inst, voice,
                                     om.mods[P.POP_N_amod - 1],
                                     om.mods[P.POP_N_ramod - 1],
@@ -478,11 +561,12 @@ class RenderPlan:
                 if plan_selfmod_param(bufs + 5, om, op, inst, voice,
                                       freq, visited):
                     emit(Stage(K_WRUN_SELF, inst=inst, op=op, dst=tmp,
-                               a=phase_buf, b=bufs + 5, voice=voice))
+                               a=phase_buf, b=bufs + 5, voice=voice,
+                               wave=om.wave))
                 else:
                     emit(Stage(K_WRUN, inst=inst, op=op, dst=tmp,
                                a=phase_buf, voice=voice,
-                               skip_line=(L_PMA,)))
+                               skip_line=(L_PMA,), wave=om.wave))
                 emit(Stage(K_MIX, inst=inst, op=op, dst=mix_buf,
                            a=tmp, b=amp, wave_env=wave_env, layer=layer,
                            voice=voice))
@@ -508,9 +592,12 @@ class RenderPlan:
                         plan_block(bufs + 5, mid, inst, voice, freq,
                                    False, i != 0, visited)
                     fpm_buf = bufs + 5
+                ras = (om.ras_line, om.ras_func, om.ras_level,
+                       om.ras_alpha, om.ras_flags, om.ras_rate2x)
                 # phase values written to dst+1 (== rasg_buf)
                 emit(Stage(K_RCYCLE, inst=inst, op=op, dst=cycle_buf,
-                           a=freq, b=pm_buf, c=fpm_buf, voice=voice))
+                           a=freq, b=pm_buf, c=fpm_buf, voice=voice,
+                           ras=ras))
                 plan_param_rangemod(bufs + 4, om, op, inst, voice,
                                     om.mods[P.POP_N_amod - 1],
                                     om.mods[P.POP_N_ramod - 1],
@@ -520,11 +607,11 @@ class RenderPlan:
                                       freq, visited):
                     emit(Stage(K_RRUN_SELF, inst=inst, op=op,
                                dst=rasg_buf, a=cycle_buf, b=bufs + 5,
-                               voice=voice))
+                               voice=voice, ras=ras))
                 else:
                     emit(Stage(K_RRUN, inst=inst, op=op, dst=rasg_buf,
                                a=cycle_buf, voice=voice,
-                               skip_line=(L_PMA,)))
+                               skip_line=(L_PMA,), ras=ras))
                 emit(Stage(K_MIX, inst=inst, op=op, dst=mix_buf,
                            a=rasg_buf, b=amp, wave_env=wave_env,
                            layer=layer, voice=voice))
@@ -551,7 +638,8 @@ class RenderPlan:
             # pan line fill (running vs skipping a goal-less line is
             # state- and value-equivalent, so always fill)
             emit(Stage(K_LINE, inst=carr_inst, op=carr, dst=pan_buf,
-                       a=-1, line=L_PAN, voice=v))
+                       a=-1, line=L_PAN, voice=v,
+                       ltype=om.ltype[L_PAN]))
             freq_alias = freq_buf_id if freq_buf_id > 0 else -1
             for mid in camods:
                 plan_block(pan_buf, mid, carr_inst, v, freq_alias,
@@ -562,7 +650,8 @@ class RenderPlan:
         sig = tuple(
             (s.kind, s.inst, s.dst, s.a, s.b, s.c, s.line, s.wave_env,
              s.layer, s.skip_line, s.freq_buf_id,
-             insts[s.inst].parent if s.inst >= 0 else -2)
+             insts[s.inst].parent if s.inst >= 0 else -2,
+             s.wave, s.ntype, s.ltype, s.ras)
             for s in stages)
         return stages, insts, sig
 
@@ -571,11 +660,19 @@ class RenderPlan:
     def _build_block_tables(self):
         """Split each epoch into event-aligned blocks of <= self.block
         samples, with update-record ranges applied at block starts."""
-        B = self.block
         for ep in self.epochs:
             breakpoints = []
             for ei in range(ep.ev_lo, ep.ev_hi):
                 breakpoints.append((self.ev_abs[ei], ei))
+            # per-epoch block size: the longest event-free segment,
+            # rounded up (capped) -- fewer scan steps on sparse scripts
+            seg_max = 0
+            marks = sorted({t for t, _ in breakpoints}
+                           | {ep.start, ep.end})
+            for a, b in zip(marks, marks[1:]):
+                seg_max = max(seg_max, b - a)
+            B = _round_block(seg_max if seg_max else self.block)
+            ep.block = B
             lens = []
             rec_lo = []
             rec_hi = []
