@@ -65,41 +65,51 @@ LF_TIFNEW = P.LINEP_TIME_IF_NEW
 SIN_ADJ = np.uint32(W.PICOEFFS[W.N_sin][2] & 0xffffffff)
 
 
+# Packed per-op state: the TPU runtime pays a large fixed cost per
+# gather/scatter kernel, so all per-op scalars live in two matrices
+# and each scan step does ONE row gather and ONE row scatter.
+#
+# SF (n_ops, NF) float32 columns:
+C_LV0 = 0      # ..5   line v0 per slot
+C_LVT = 6      # ..11  line vt per slot
+C_WPS = 12     # wosc prev_s
+C_WFB = 13     # wosc feedback
+C_RPS = 14     # rasg prev_s
+C_RFB = 15     # rasg feedback
+NF = 16
+# SI (n_ops, NI) int32 columns (u32 values bitcast):
+C_LPOS = 0     # ..5
+C_LEND = 6     # ..11
+C_LTYPE = 12   # ..17
+C_LFLAGS = 18  # ..23
+C_TIME = 24
+C_TINF = 25
+C_PHASE = 26   # u32 wosc phase
+C_WRESET = 27
+C_WPPH = 28    # u32 wosc prev phase
+C_RCPLO = 29   # u32 rasg cycle_phase low word
+C_RCPHI = 30   # u32 rasg cycle_phase high word
+C_NN = 31      # u32 noise counter
+C_NPREV = 32   # u32 noise prev
+NI = 33
+
+
 def make_state(plan: RenderPlan):
     n = plan.n_ops
     nv = plan.n_voices
-    z = lambda dt: jnp.zeros((n, 6) if dt == 'line' else (n,),
-                             dtype=jnp.float32)
-    st = {
-        'lv0': jnp.zeros((n, 6), f32),
-        'lvt': jnp.zeros((n, 6), f32),
-        'lpos': jnp.zeros((n, 6), i32),
-        'lend': jnp.zeros((n, 6), i32),
-        'ltype': jnp.zeros((n, 6), i32),
-        'lflags': jnp.zeros((n, 6), i32),
-        'time': jnp.zeros((n,), i32),
-        'tinf': jnp.zeros((n,), jnp.bool_),
-        'phase': jnp.zeros((n,), u32),
-        'wave': jnp.zeros((n,), i32),
-        'wreset': jnp.zeros((n,), i32),
-        'wpphase': jnp.zeros((n,), u32),
-        'wps': jnp.zeros((n,), f32),
-        'wfb': jnp.zeros((n,), f32),
-        'rcp': jnp.zeros((n,), u64),
-        'rline': jnp.zeros((n,), i32),
-        'rfunc': jnp.zeros((n,), i32),
-        'rlevel': jnp.zeros((n,), i32),
-        'ralpha': jnp.zeros((n,), u32),
-        'rflags': jnp.zeros((n,), i32),
-        'rrate2x': jnp.zeros((n,), jnp.bool_),
-        'rps': jnp.zeros((n,), f32),
-        'rfb': jnp.zeros((n,), f32),
-        'nn': jnp.zeros((n,), u32),
-        'nprev': jnp.zeros((n,), u32),
-        'ntype': jnp.zeros((n,), i32),
+    return {
+        'sf': jnp.zeros((n, NF), f32),
+        'si': jnp.zeros((n, NI), i32),
         'vdur': jnp.zeros((nv,), i32),
     }
-    return st
+
+
+def _u(x):
+    return jax.lax.bitcast_convert_type(x, u32)
+
+
+def _i(x):
+    return jax.lax.bitcast_convert_type(x, i32)
 
 
 # -- line state machine ------------------------------------------------------
@@ -244,51 +254,29 @@ def _line_copy_scalar(cur, rflags, rv0, rvt, rend, rtype, present):
 
 def apply_records(st, lo, hi, recs):
     """Apply update records [lo, hi) (handle_event + update_op,
-    sau/generator.c:245-377)."""
+    sau/generator.c:245-377) to the packed state."""
 
     def body(ri, st):
         g = lambda k: recs[k][ri]
         op = g('op')
         kind = g('kind')
         is_op = kind == 0
+        fr = st['sf'][op]
+        ir = st['si'][op]
 
         # --- prepare (prepare_op, generator.c:245-278) ---------------
         prep = g('prepare') & is_op
-        typ = g('type')
-        for key, dv in (('lv0', 0.0), ('lvt', 0.0)):
-            st[key] = st[key].at[op].set(
-                jnp.where(prep, jnp.zeros(6, f32), st[key][op]))
-        for key in ('lpos', 'lend', 'ltype', 'lflags'):
-            st[key] = st[key].at[op].set(
-                jnp.where(prep, jnp.zeros(6, i32), st[key][op]))
-        def setp(key, val):
-            st[key] = st[key].at[op].set(
-                jnp.where(prep, jnp.asarray(val, st[key].dtype),
-                          st[key][op]))
-            return st
-        st = setp('time', 0)
-        st = setp('tinf', False)
-        st = setp('phase', SIN_ADJ)
-        st = setp('wave', W.N_sin)
-        st = setp('wreset', 1)
-        st = setp('wpphase', 0)
-        st = setp('wps', 0.0)
-        st = setp('wfb', 0.0)
-        st = setp('rcp', 0)
-        st = setp('rline', 1)      # SAU_LINE_N_lin
-        st = setp('rfunc', P.RAS_F_URAND)
-        st = setp('rlevel', P.ras_level(9))
-        st = setp('ralpha', prim.FIBH32)
-        st = setp('rflags', 0)
-        st = setp('rrate2x', True)
-        st = setp('rps', 0.0)
-        st = setp('rfb', 0.0)
-        st = setp('nn', 0)
-        st = setp('nprev', 0)
-        st = setp('ntype', 0)
+        prep_f = jnp.zeros((NF,), f32)
+        prep_i = jnp.zeros((NI,), i32)
+        prep_i = prep_i.at[C_LTYPE:C_LTYPE + 6].set(0)
+        prep_i = prep_i.at[C_PHASE].set(_i(SIN_ADJ))
+        prep_i = prep_i.at[C_WRESET].set(1)
+        fr = jnp.where(prep, prep_f, fr)
+        ir = jnp.where(prep, prep_i, ir)
 
         # --- update (update_op, generator.c:283-343) ------------------
         params = g('params')
+        typ = g('type')
         has_mode = is_op & ((params & P.POPP_MODE) != 0)
         has_phase = is_op & ((params & P.POPP_PHASE) != 0)
         has_seed = is_op & ((params & P.POPP_SEED) != 0)
@@ -298,112 +286,93 @@ def apply_records(st, lo, hi, recs):
         is_rasg = typ == P.POPT_RASEG
 
         # noise
-        st['ntype'] = st['ntype'].at[op].set(
-            jnp.where(has_mode & is_noise, g('mode_main'),
-                      st['ntype'][op]))
-        st['nprev'] = st['nprev'].at[op].set(
-            jnp.where(has_mode & is_noise, 0, st['nprev'][op]))
-        st['nn'] = st['nn'].at[op].set(
-            jnp.where(has_seed & is_noise, g('seed'), st['nn'][op]))
+        ir = ir.at[C_NPREV].set(jnp.where(has_mode & is_noise, 0,
+                                          ir[C_NPREV]))
+        ir = ir.at[C_NN].set(jnp.where(has_seed & is_noise,
+                                       _i(g('seed')), ir[C_NN]))
 
-        # wave: set_wave (wosc.h:81-91), set_phase (wosc.h:73-79)
-        wave_old = st['wave'][op]
-        wave_new = jnp.where(has_mode & is_wave, g('mode_main'),
-                             wave_old)
-        adj_old = jdsp.PHASE_ADJ[wave_old]
-        adj_new = jdsp.PHASE_ADJ[wave_new]
-        ph = st['phase'][op]
-        ph = jnp.where(has_mode & is_wave, ph + adj_new - adj_old, ph)
-        st['wave'] = st['wave'].at[op].set(wave_new)
-        st['wreset'] = st['wreset'].at[op].set(
-            jnp.where(has_mode & is_wave, st['wreset'][op] | 1,
-                      st['wreset'][op]))
-        ph = jnp.where(has_phase & is_wave,
-                       g('phase') + jdsp.PHASE_ADJ[wave_new], ph)
-        st['phase'] = st['phase'].at[op].set(ph)
+        # wave: set_wave/set_phase with plan-precomputed adjustments
+        ph = _u(ir[C_PHASE])
+        ph = jnp.where(has_mode & is_wave, ph + g('wadj_delta'), ph)
+        ir = ir.at[C_WRESET].set(jnp.where(has_mode & is_wave, 1,
+                                           ir[C_WRESET]))
+        ph = jnp.where(has_phase & is_wave, g('phase_w'), ph)
+        ir = ir.at[C_PHASE].set(_i(ph))
 
-        # rasg: set_opt (rasg.h:97-119), set_phase, set_cycle
-        rf = g('ras_flags')
-        line_set = (rf & P.RAS_O_LINE_SET) != 0
-        func_set = (rf & P.RAS_O_FUNC_SET) != 0
-        level_set = (rf & P.RAS_O_LEVEL_SET) != 0
-        alpha_set = (rf & P.RAS_O_ASUBVAL_SET) != 0
-        upd_r = has_mode & is_rasg
-        st['rline'] = st['rline'].at[op].set(
-            jnp.where(upd_r & line_set, g('ras_line'), st['rline'][op]))
-        st['rfunc'] = st['rfunc'].at[op].set(
-            jnp.where(upd_r & func_set, g('ras_func'), st['rfunc'][op]))
-        st['rlevel'] = st['rlevel'].at[op].set(
-            jnp.where(upd_r & level_set, g('ras_level'),
-                      st['rlevel'][op]))
-        st['ralpha'] = st['ralpha'].at[op].set(
-            jnp.where(upd_r & alpha_set, g('ras_alpha'),
-                      st['ralpha'][op]))
-        flags_eff = jnp.where(func_set, rf, rf | st['rflags'][op])
-        st['rflags'] = st['rflags'].at[op].set(
-            jnp.where(upd_r, flags_eff, st['rflags'][op]))
-        # rate2x toggle preserving cycle/phase (rasg.h:111-118)
-        old2x = st['rrate2x'][op]
-        new2x = (flags_eff & P.RAS_O_HALFSHAPE) == 0
-        cp = st['rcp'][op]
-        cyc = ((cp >> np.uint64(32)).astype(u32) & np.uint32(~1 &
-                                                            0xffffffff))
-        phs = jnp.where(old2x, (cp >> np.uint64(1)).astype(u32),
+        # rasg cycle/phase state (rasg.h:59-119); rate2x transitions
+        # are plan-precomputed booleans
+        cp = (_u(ir[C_RCPHI]).astype(jnp.uint64) << np.uint64(32)) \
+            | _u(ir[C_RCPLO]).astype(jnp.uint64)
+        r2x_old = g('r2x_old')
+        r2x_new = g('r2x_new')
+        cyc = ((cp >> np.uint64(32)).astype(u32)
+               & np.uint32(~1 & 0xffffffff))
+        phs = jnp.where(r2x_old, (cp >> np.uint64(1)).astype(u32),
                         cp.astype(u32))
-        cp_re = (cyc.astype(u64) << np.uint64(32)) | jnp.where(
-            new2x, phs.astype(u64) << np.uint64(1), phs.astype(u64))
-        cp = jnp.where(upd_r & (new2x != old2x), cp_re, cp)
-        st['rrate2x'] = st['rrate2x'].at[op].set(
-            jnp.where(upd_r, new2x, old2x))
-        r2x = jnp.where(upd_r, new2x, old2x)
-        # set_phase (rasg.h:88-92)
+        cp_re = (cyc.astype(jnp.uint64) << np.uint64(32)) | jnp.where(
+            r2x_new, phs.astype(jnp.uint64) << np.uint64(1),
+            phs.astype(jnp.uint64))
+        cp = jnp.where(has_mode & is_rasg & (r2x_new != r2x_old),
+                       cp_re, cp)
+        # set_phase
         cyc2 = ((cp >> np.uint64(32)).astype(u32)
                 & np.uint32(~1 & 0xffffffff))
         newph = g('phase')
-        ph64 = jnp.where(r2x, newph.astype(u64) << np.uint64(1),
-                         newph.astype(u64))
+        ph64 = jnp.where(r2x_new,
+                         newph.astype(jnp.uint64) << np.uint64(1),
+                         newph.astype(jnp.uint64))
         cp = jnp.where(has_phase & is_rasg,
-                       (cyc2.astype(u64) << np.uint64(32)) | ph64, cp)
-        # set_cycle (rasg.h:76-86)
-        phs2 = jnp.where(r2x, (cp >> np.uint64(1)).astype(u32),
+                       (cyc2.astype(jnp.uint64) << np.uint64(32))
+                       | ph64, cp)
+        # set_cycle
+        phs2 = jnp.where(r2x_new, (cp >> np.uint64(1)).astype(u32),
                          cp.astype(u32))
-        ph64b = jnp.where(r2x, phs2.astype(u64) << np.uint64(1),
-                          phs2.astype(u64))
-        seedc = (g('seed') & np.uint32(~1 & 0xffffffff)).astype(u64)
+        ph64b = jnp.where(r2x_new,
+                          phs2.astype(jnp.uint64) << np.uint64(1),
+                          phs2.astype(jnp.uint64))
+        seedc = (g('seed') & np.uint32(~1 & 0xffffffff)).astype(
+            jnp.uint64)
         cp = jnp.where(has_seed & is_rasg,
                        (seedc << np.uint64(32)) | ph64b, cp)
-        st['rcp'] = st['rcp'].at[op].set(cp)
+        ir = ir.at[C_RCPLO].set(_i(cp.astype(u32)))
+        ir = ir.at[C_RCPHI].set(_i((cp >> np.uint64(32)).astype(u32)))
 
-        # osc-common line copies: freq, freq2, pm_a
+        # line copies: freq/freq2/pm_a gated osc-type; amp/amp2/pan
         is_osc = is_wave | is_rasg
-        for slot in (L_FREQ, L_FREQ2, L_PMA):
-            cur = _gather_line(st, op, slot)
+        for slot in (L_FREQ, L_FREQ2, L_PMA, L_AMP, L_AMP2, L_PAN):
+            gate_l = (is_osc if slot in (L_FREQ, L_FREQ2, L_PMA)
+                      else True) & g('l%d_present' % slot) & is_op
+            cur = {'v0': fr[C_LV0 + slot], 'vt': fr[C_LVT + slot],
+                   'pos': ir[C_LPOS + slot], 'end': ir[C_LEND + slot],
+                   'type': ir[C_LTYPE + slot],
+                   'flags': ir[C_LFLAGS + slot]}
             newl = _line_copy_scalar(
                 cur, g('l%d_flags' % slot), g('l%d_v0' % slot),
                 g('l%d_vt' % slot), g('l%d_end' % slot),
-                g('l%d_type' % slot),
-                is_osc & g('l%d_present' % slot))
-            st = _scatter_line(st, op, slot, newl, is_op)
+                g('l%d_type' % slot), gate_l)
+            fr = fr.at[C_LV0 + slot].set(newl['v0'])
+            fr = fr.at[C_LVT + slot].set(newl['vt'])
+            ir = ir.at[C_LPOS + slot].set(newl['pos'])
+            ir = ir.at[C_LEND + slot].set(newl['end'])
+            ir = ir.at[C_LTYPE + slot].set(newl['type'])
+            ir = ir.at[C_LFLAGS + slot].set(newl['flags'])
 
         # time
-        st['time'] = st['time'].at[op].set(
-            jnp.where(has_time, g('time_v'), st['time'][op]))
-        st['tinf'] = st['tinf'].at[op].set(
-            jnp.where(has_time, g('time_implicit'), st['tinf'][op]))
+        ir = ir.at[C_TIME].set(jnp.where(has_time, g('time_v'),
+                                         ir[C_TIME]))
+        ir = ir.at[C_TINF].set(jnp.where(
+            has_time, g('time_implicit').astype(i32), ir[C_TINF]))
 
-        # amp/amp2/pan copies (always attempted)
-        for slot in (L_AMP, L_AMP2, L_PAN):
-            cur = _gather_line(st, op, slot)
-            newl = _line_copy_scalar(
-                cur, g('l%d_flags' % slot), g('l%d_v0' % slot),
-                g('l%d_vt' % slot), g('l%d_end' % slot),
-                g('l%d_type' % slot), g('l%d_present' % slot))
-            st = _scatter_line(st, op, slot, newl, is_op)
+        st['sf'] = st['sf'].at[op].set(jnp.where(is_op, fr,
+                                                 st['sf'][op]))
+        st['si'] = st['si'].at[op].set(jnp.where(is_op, ir,
+                                                 st['si'][op]))
 
         # voice record: duration = carrier time (set_voice_duration)
         vo = g('vo')
         carr = g('carr')
-        dur = jnp.where(st['tinf'][carr], 0, st['time'][carr])
+        dur = jnp.where(st['si'][carr, C_TINF] != 0, 0,
+                        st['si'][carr, C_TIME])
         st['vdur'] = st['vdur'].at[vo].set(
             jnp.where(kind == 1, dur, st['vdur'][vo]))
         return st
@@ -415,9 +384,13 @@ def apply_records(st, lo, hi, recs):
 
 def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                    inst_parent, stage_voices, srate):
-    """Build the scan step for one epoch schedule. ``sig`` is the
-    static schedule tuple from the planner; per-stage operator ids and
-    per-instance op ids arrive as traced arrays."""
+    """Build the scan step for one epoch schedule. ``sig`` =
+    (stage entries, inst_src, scatter_list) from the planner; per-stage
+    operator ids arrive as per-block arrays. Per-op scalar state is
+    gathered into packed rows once per block and scattered back once
+    (per-scalar dynamic indexing fragments the XLA program into dozens
+    of kernel launches, each with a large fixed cost on TPU)."""
+    stage_sig, inst_src, scatter_list = sig
     coeff = np.float32(np.float32(4294967296.0) / np.float64(srate))
     amp_scale = np.float32(amp_scale)
 
@@ -427,15 +400,50 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
 
         def step(st, blk):
             blen, rlo, rhi, stage_op, inst_op = blk
-            st = apply_records(st, rlo, rhi, recs)
+            # most blocks carry no events; skip the record machinery
+            st = jax.lax.cond(rhi > rlo,
+                              lambda s_: apply_records(s_, rlo, rhi,
+                                                       recs),
+                              lambda s_: s_, st)
             idx = jnp.arange(B, dtype=i32)
             bufs: Dict[int, jnp.ndarray] = {}
             mixl = jnp.zeros(B, f32)
             mixr = jnp.zeros(B, f32)
+            # one row gather for all per-op scalars this block
+            fi = st['sf'][inst_op] if n_insts else st['sf'][:0]
+            ii = st['si'][inst_op] if n_insts else st['si'][:0]
+            fvals = {}
+            ivals = {}
+
+            def src_row(inst):
+                sr = inst_src[inst]
+                return inst if sr < 0 else sr
+
+            def gf(inst, col):
+                key = (src_row(inst), col)
+                return fvals.get(key, fi[key[0], col])
+
+            def gi(inst, col):
+                key = (src_row(inst), col)
+                return ivals.get(key, ii[key[0], col])
+
+            def pf(inst, col, v, gate):
+                key = (src_row(inst), col)
+                fvals[key] = jnp.where(gate, v, gf(inst, col))
+
+            def pi(inst, col, v, gate):
+                key = (src_row(inst), col)
+                ivals[key] = jnp.where(gate, v, gi(inst, col))
+
+            def gu(inst, col):
+                return _u(gi(inst, col))
+
+            def pu(inst, col, v, gate):
+                pi(inst, col, _i(v), gate)
+
             lens = [None] * n_insts
             gates = [None] * n_insts
             inst_done = [False] * n_insts
-            # voice gates
             vgate = {}
             vlen = {}
             for v in set(stage_voices):
@@ -445,38 +453,47 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                 vlen[v] = jnp.minimum(vd, blen)
                 vgate[v] = (vd > 0) & (blen > 0)
 
-            def inst_begin(ii, v):
-                par = inst_parent[ii]
-                op = inst_op[ii]
+            def inst_begin(ii_, v):
+                par = inst_parent[ii_]
+                tinf = gi(ii_, C_TINF) != 0
+                own = jnp.where(tinf, BIG_TIME, gi(ii_, C_TIME))
                 plen = vlen[v] if par < 0 else lens[par]
-                own = jnp.where(st['tinf'][op], BIG_TIME,
-                                st['time'][op])
-                lens[ii] = jnp.minimum(plen, own)
+                lens[ii_] = jnp.minimum(plen, own)
                 g = vgate[v] if par < 0 else gates[par]
-                # carrier gate includes time > 0 (run_voice guard)
                 if par < 0:
-                    g = g & ((st['time'][op] > 0) | st['tinf'][op])
-                gates[ii] = g
+                    g = g & ((gi(ii_, C_TIME) > 0) | tinf)
+                gates[ii_] = g
 
-            def inst_end(ii):
-                op = inst_op[ii]
-                newt = st['time'][op] - lens[ii]
-                st['time'] = st['time'].at[op].set(
-                    jnp.where(gates[ii] & ~st['tinf'][op], newt,
-                              st['time'][op]))
+            def inst_end(ii_):
+                tinf = gi(ii_, C_TINF) != 0
+                pi(ii_, C_TIME, gi(ii_, C_TIME) - lens[ii_],
+                   gates[ii_] & ~tinf)
 
-            # find last stage index per instance
             last_stage = {}
-            for si, s in enumerate(sig):
+            for si_, s in enumerate(stage_sig):
                 if s[1] >= 0:
-                    last_stage[s[1]] = si
+                    last_stage[s[1]] = si_
 
-            for si, s in enumerate(sig):
+            def line_state(inst, slot):
+                return {'v0': gf(inst, C_LV0 + slot),
+                        'vt': gf(inst, C_LVT + slot),
+                        'pos': gi(inst, C_LPOS + slot),
+                        'end': gi(inst, C_LEND + slot),
+                        'type': gi(inst, C_LTYPE + slot),
+                        'flags': gi(inst, C_LFLAGS + slot)}
+
+            def put_line(inst, slot, ls, gate):
+                pf(inst, C_LV0 + slot, ls['v0'], gate)
+                pi(inst, C_LPOS + slot, ls['pos'], gate)
+                pi(inst, C_LFLAGS + slot, ls['flags'], gate)
+                if 'end' in ls:
+                    pi(inst, C_LEND + slot, ls['end'], gate)
+
+            for si_, s in enumerate(stage_sig):
                 (kind, inst, dst, a, b, c, line, wave_env, layer,
                  skip_line, freq_buf_id, _par, wave, ntype, ltype,
                  ras) = s
-                op = stage_op[si]
-                v = stage_voices[si]
+                v = stage_voices[si_]
                 if inst >= 0 and not inst_done[inst]:
                     inst_begin(inst, v)
                     inst_done[inst] = True
@@ -489,37 +506,31 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                 mask = idx < length
 
                 if kind == K_LINE:
-                    slot = line
                     mul = bufs.get(a) if a >= 0 else None
-                    ls = _gather_line(st, op, slot)
+                    ls = line_state(inst, line)
                     out, nls = line_run_vec(ls, B, length, mul,
                                             static_type=ltype)
                     bufs[dst] = out
-                    st = _scatter_line(st, op, slot, nls, gate)
+                    put_line(inst, line, nls, gate)
                 elif kind == K_RANGEMOD:
                     par = bufs[dst]
-                    rpar = bufs[a]
-                    mod = bufs[b]
-                    bufs[dst] = jnp.where(mask,
-                                          par + (rpar - par) * mod, par)
+                    bufs[dst] = jnp.where(
+                        mask, par + (bufs[a] - par) * bufs[b], par)
                 elif kind == K_CONST1:
                     bufs[dst] = jnp.ones(B, f32)
                 elif kind == K_NOISE:
                     out, nprev = jdsp.noise_run(
-                        ntype, st['nn'][op], st['nprev'][op],
+                        ntype, gu(inst, C_NN), gu(inst, C_NPREV),
                         length, B)
                     bufs[dst] = out
-                    st['nn'] = st['nn'].at[op].set(
-                        jnp.where(gate, st['nn'][op]
-                                  + length.astype(u32),
-                                  st['nn'][op]))
-                    st['nprev'] = st['nprev'].at[op].set(
-                        jnp.where(gate, nprev, st['nprev'][op]))
+                    pu(inst, C_NN,
+                       gu(inst, C_NN) + length.astype(u32), gate)
+                    pu(inst, C_NPREV, nprev, gate)
                 elif kind == K_WPHASE:
                     freq = bufs[a]
                     incs = jdsp.ftoi(coeff * freq).astype(u32)
                     incs = jnp.where(mask, incs, np.uint32(0))
-                    run = jdsp.prefix_sum(incs) + st['phase'][op]
+                    run = jdsp.prefix_sum(incs) + gu(inst, C_PHASE)
                     if b >= 0 and c >= 0:
                         s_pofs = bufs[b] + bufs[c] \
                             * jdsp.HUMMID_INV * freq
@@ -532,61 +543,62 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     else:
                         ofs = jnp.zeros(B, u32)
                     bufs[dst] = ofs + run
-                    st['phase'] = st['phase'].at[op].set(
-                        jnp.where(gate & (length > 0), run[B - 1],
-                                  st['phase'][op]))
+                    pu(inst, C_PHASE, run[B - 1],
+                       gate & (length > 0))
                 elif kind in (K_WRUN, K_WRUN_SELF):
-                    pilut = piluts[wave]
-                    reset = (st['wreset'][op] != 0) & (length > 0)
+                    reset = (gi(inst, C_WRESET) != 0) & (length > 0)
                     if kind == K_WRUN:
                         out, npp, nps = jdsp.wosc_run_taps(
-                            wave, bufs[a], st['wpphase'][op],
-                            st['wps'][op], reset, length)
+                            wave, bufs[a], gu(inst, C_WPPH),
+                            gf(inst, C_WPS), reset, length)
                     else:
                         out, npp, nps, nfb = jdsp.wosc_selfmod_scan(
-                            pilut, wave, bufs[a], bufs[b],
-                            st['wpphase'][op], st['wps'][op],
-                            st['wfb'][op], reset, length)
-                        st['wfb'] = st['wfb'].at[op].set(
-                            jnp.where(gate, nfb, st['wfb'][op]))
+                            piluts[wave], wave, bufs[a], bufs[b],
+                            gu(inst, C_WPPH), gf(inst, C_WPS),
+                            gf(inst, C_WFB), reset, length)
+                        pf(inst, C_WFB, nfb, gate)
                     bufs[dst] = out
                     upd = gate & (length > 0)
-                    st['wpphase'] = st['wpphase'].at[op].set(
-                        jnp.where(upd, npp, st['wpphase'][op]))
-                    st['wps'] = st['wps'].at[op].set(
-                        jnp.where(upd, nps, st['wps'][op]))
-                    st['wreset'] = st['wreset'].at[op].set(
-                        jnp.where(upd, 0, st['wreset'][op]))
+                    pu(inst, C_WPPH, npp, upd)
+                    pf(inst, C_WPS, nps, upd)
+                    pi(inst, C_WRESET, 0, upd)
                 elif kind == K_RCYCLE:
                     freq = bufs[a]
                     r2x = ras[5]
                     coeff_e = np.float32(coeff * 2) if r2x else coeff
                     pscale = np.float32(jdsp.P31 * 2) if r2x \
                         else jdsp.P31
-                    incs = jdsp.ftoi(coeff_e * freq).astype(u64)
+                    incs = jdsp.ftoi(coeff_e * freq).astype(jnp.uint64)
                     incs = jnp.where(mask, incs, np.uint64(0))
                     csum = jdsp.prefix_sum(incs)
-                    base = st['rcp'][op] + csum - incs
+                    cp0 = (gu(inst, C_RCPHI).astype(jnp.uint64)
+                           << np.uint64(32)) \
+                        | gu(inst, C_RCPLO).astype(jnp.uint64)
+                    base = cp0 + csum - incs
                     if b >= 0 and c >= 0:
                         s_pofs = bufs[b] + bufs[c] \
                             * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * pscale).astype(u64)
+                        ofs = jdsp.ftoi(s_pofs * pscale).astype(
+                            jnp.uint64)
                     elif b >= 0:
-                        ofs = jdsp.ftoi(bufs[b] * pscale).astype(u64)
+                        ofs = jdsp.ftoi(bufs[b] * pscale).astype(
+                            jnp.uint64)
                     elif c >= 0:
                         s_pofs = bufs[c] * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * pscale).astype(u64)
+                        ofs = jdsp.ftoi(s_pofs * pscale).astype(
+                            jnp.uint64)
                     else:
-                        ofs = jnp.zeros(B, u64)
+                        ofs = jnp.zeros(B, jnp.uint64)
                     cph = ofs + base
                     bufs[dst] = (cph >> np.uint64(32)).astype(u32)
                     phs = (cph.astype(u32) >> np.uint32(1))
                     bufs[dst + 1] = jdsp.asi32(phs).astype(f32) \
                         * jdsp.SCALE31
-                    st['rcp'] = st['rcp'].at[op].set(
-                        jnp.where(gate & (length > 0),
-                                  st['rcp'][op] + csum[B - 1],
-                                  st['rcp'][op]))
+                    cp1 = cp0 + csum[B - 1]
+                    upd = gate & (length > 0)
+                    pu(inst, C_RCPLO, cp1.astype(u32), upd)
+                    pu(inst, C_RCPHI, (cp1 >> np.uint64(32)).astype(
+                        u32), upd)
                 elif kind in (K_RRUN, K_RRUN_SELF):
                     rline, func, level, alpha, oflags, _r2x = ras
                     if kind == K_RRUN:
@@ -598,11 +610,9 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                         out, nps, nfb = jdsp.rasg_selfmod_scan(
                             func, rline, level, alpha, oflags,
                             bufs[dst], bufs[a], bufs[b],
-                            st['rps'][op], st['rfb'][op], length)
-                        st['rps'] = st['rps'].at[op].set(
-                            jnp.where(gate, nps, st['rps'][op]))
-                        st['rfb'] = st['rfb'].at[op].set(
-                            jnp.where(gate, nfb, st['rfb'][op]))
+                            gf(inst, C_RPS), gf(inst, C_RFB), length)
+                        pf(inst, C_RPS, nps, gate)
+                        pf(inst, C_RFB, nfb, gate)
                     bufs[dst] = out
                 elif kind == K_MIX:
                     src = bufs[a]
@@ -633,13 +643,24 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
 
                 if skip_line:
                     for slot in skip_line:
-                        ls = _gather_line(st, op, slot)
+                        ls = line_state(inst, slot)
                         nls = line_skip_vec(ls, length)
-                        st = _scatter_line(st, op, slot, nls, gate)
-                if inst >= 0 and last_stage.get(inst) == si:
+                        put_line(inst, slot, nls, gate)
+                if inst >= 0 and last_stage.get(inst) == si_:
                     inst_end(inst)
 
-            # voice duration decrement
+            # write back packed rows (only the last instance per op)
+            if n_insts:
+                frows = jnp.stack([
+                    jnp.stack([gf(ii_, col) for col in range(NF)])
+                    for ii_ in scatter_list])
+                irows = jnp.stack([
+                    jnp.stack([gi(ii_, col) for col in range(NI)])
+                    for ii_ in scatter_list])
+                sel = jnp.asarray(list(scatter_list), dtype=i32)
+                ops_sel = inst_op[sel]
+                st['sf'] = st['sf'].at[ops_sel].set(frows)
+                st['si'] = st['si'].at[ops_sel].set(irows)
             for v in sorted(vgate.keys()):
                 dec = jnp.where(vgate[v], vlen[v], 0)
                 st['vdur'] = st['vdur'].at[v].set(st['vdur'][v] - dec)
@@ -657,7 +678,11 @@ class JaxGenerator:
     """Generator-compatible renderer driving the JAX engine.
 
     Renders the full program on first use, then serves int16 chunks
-    through the same run() API as the CPU Generator."""
+    through the same run() API as the CPU Generator. Rendering is
+    device-resident; int16 conversion happens on device and only the
+    final samples cross the host boundary (the dev-rig TPU tunnel
+    moves data at ~30 MB/s, while on-device render throughput is
+    3 orders of magnitude higher)."""
 
     _cache = {}
 
@@ -665,16 +690,26 @@ class JaxGenerator:
         self.prg = prg
         self.srate = srate
         self.plan = RenderPlan(prg, srate, block)
+        self._recs_dev = None
+        self._ep_dev = None
         self._rendered = None
         self._pos = 0
 
-    def _render_f32(self):
-        """Render the whole signal; returns float32 (total, 2)."""
+    def _upload(self):
+        if self._recs_dev is None:
+            plan = self.plan
+            self._recs_dev = {k: jnp.asarray(v)
+                              for k, v in plan.rec_arrays.items()}
+            self._ep_dev = [
+                (jnp.asarray(ep.blk_len), jnp.asarray(ep.blk_rec_lo),
+                 jnp.asarray(ep.blk_rec_hi),
+                 jnp.asarray(ep.blk_stage_op),
+                 jnp.asarray(ep.blk_inst_op))
+                for ep in self.plan.epochs]
+
+    def _epoch_fns(self):
         plan = self.plan
-        st = make_state(plan)
-        recs = {k: jnp.asarray(v) for k, v in plan.rec_arrays.items()}
-        pieces = []
-        piece_meta = []
+        fns = []
         for ep in plan.epochs:
             sig = ep.sig
             n_stages = len(ep.stages)
@@ -694,50 +729,61 @@ class JaxGenerator:
                     plan.amp_scale, inst_parent, stage_voices,
                     self.srate))
                 self._cache[key] = fn
-            st, outs = fn(st, jnp.asarray(ep.blk_len),
-                          jnp.asarray(ep.blk_rec_lo),
-                          jnp.asarray(ep.blk_rec_hi),
-                          jnp.asarray(ep.blk_stage_op),
-                          jnp.asarray(ep.blk_inst_op), recs)
-            pieces.append(outs)
-            piece_meta.append(ep.blk_len)
-        # compact variable-length blocks into a contiguous signal
-        total = plan.signal_end
-        out = np.zeros((total, 2), dtype=np.float32)
+            fns.append(fn)
+        return fns
+
+    def render_device(self):
+        """Run the full render; returns a list of per-epoch device
+        arrays of int16 blocks (n_blocks, B, 2) -- nothing crosses the
+        host boundary. Used for throughput measurement and device-side
+        consumers."""
+        self._upload()
+        st = make_state(self.plan)
+        pieces = []
+        for fn, dev in zip(self._epoch_fns(), self._ep_dev):
+            st, outs = fn(st, *dev, self._recs_dev)
+            pieces.append(_to_i16_device(outs))
+        return pieces
+
+    def _render_f32(self):
+        """Render and pull to host; returns int16-derived float32
+        (total, 2) for compatibility plus caching of int16."""
+        pieces = self.render_device()
+        total = self.plan.signal_end
+        li = np.zeros(total, dtype=np.int16)
+        ri = np.zeros(total, dtype=np.int16)
         pos = 0
-        for outs, blens in zip(pieces, piece_meta):
-            arr = np.asarray(outs)
-            for bi, blen in enumerate(blens):
+        for arr_dev, ep in zip(pieces, self.plan.epochs):
+            arr = np.asarray(arr_dev)
+            for bi, blen in enumerate(ep.blk_len):
                 if blen > 0:
-                    out[pos:pos + blen] = arr[bi, :blen]
+                    li[pos:pos + blen] = arr[bi, :blen, 0]
+                    ri[pos:pos + blen] = arr[bi, :blen, 1]
                     pos += blen
         assert pos == total, (pos, total)
+        self._i16 = (li, ri)
+        out = np.stack([li, ri], axis=-1).astype(np.float32) \
+            / np.float32(32767.0)
         return out
-
-    def _to_i16(self, f):
-        l = np.clip(f[:, 0], np.float32(-1.0), np.float32(1.0))
-        r = np.clip(f[:, 1], np.float32(-1.0), np.float32(1.0))
-        li = np.rint((l * np.float32(32767.0)).astype(np.float64)) \
-            .astype(np.int16)
-        ri = np.rint((r * np.float32(32767.0)).astype(np.float64)) \
-            .astype(np.int16)
-        return li, ri
 
     def run(self, out_i16, buf_len, stereo):
         """sauGenerator_run-compatible chunked delivery."""
         if self._rendered is None:
-            self._rendered = self._render_f32()
-        total = self._rendered.shape[0]
+            self._render_f32()
+            self._rendered = True
+        li, ri = self._i16
+        total = li.shape[0]
         out_i16[:] = 0
         n = min(buf_len, total - self._pos)
         if n > 0:
-            seg = self._rendered[self._pos:self._pos + n]
-            li, ri = self._to_i16(seg)
+            ls = li[self._pos:self._pos + n]
+            rs = ri[self._pos:self._pos + n]
             if stereo:
-                out_i16[0:n * 2:2] = li
-                out_i16[1:n * 2:2] = ri
+                out_i16[0:n * 2:2] = ls
+                out_i16[1:n * 2:2] = rs
             else:
-                m = (seg[:, 0] + seg[:, 1]) * np.float32(0.5)
+                m = (ls.astype(np.float32) + rs.astype(np.float32)) \
+                    * np.float32(0.5) / np.float32(32767.0)
                 m = np.clip(m, np.float32(-1.0), np.float32(1.0))
                 out_i16[:n] = np.rint(
                     (m * np.float32(32767.0)).astype(np.float64)) \
@@ -746,3 +792,10 @@ class JaxGenerator:
         if self._pos >= total:
             return False, n
         return True, buf_len
+
+
+def _to_i16_device(outs):
+    """Clamp + round to int16 on device (mix_write semantics,
+    generator.c:795-825)."""
+    x = jnp.clip(outs, np.float32(-1.0), np.float32(1.0))
+    return jnp.rint(x * np.float32(32767.0)).astype(jnp.int16)

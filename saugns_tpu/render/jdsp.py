@@ -821,11 +821,14 @@ def _gather_taps_pallas(cells, tapmat):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE // 256, 256), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE // 256, 256),
+                               lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2048, 128), lambda i: (0, 0),
+                  pl.BlockSpec((2048, 128),
+                               lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE, 128),
+                               lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), f32),
     )(cells2, tapmat)

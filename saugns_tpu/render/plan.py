@@ -334,24 +334,45 @@ class RenderPlan:
 
     def _build_records(self):
         """Flatten events into device-ready update record arrays.
-        Record kinds: 0 = op update, 1 = voice update."""
+        Record kinds: 0 = op update, 1 = voice update. Values that
+        depend on mode state (wave phase adjustments, ras option
+        merges, line shapes) are precomputed here -- mode state evolves
+        deterministically with events (see OpModel)."""
         prg = self.prg
         srate = self.srate
         recs = []
         ev_rec_lo = []
         ev_rec_hi = []
         prepared = set()
+        sim = [OpModel() for _ in range(self.n_ops)]
         for e in prg.events:
             ev_rec_lo.append(len(recs))
             for od in e.op_data:
+                om = sim[od.id]
                 r = {}
                 r['kind'] = 0
                 r['op'] = od.id
-                r['prepare'] = od.id not in prepared
+                fresh = od.id not in prepared
+                r['prepare'] = fresh
                 prepared.add(od.id)
+                if fresh:
+                    om.__init__()
+                    om.prepared = True
+                    om.type = od.type
                 r['params'] = od.params
                 r['type'] = od.type
                 r['use_carr'] = od.use_type == P.POP_N_carr
+                wave_old = om.wave
+                r2x_old = om.ras_rate2x
+                om.apply_mode(od)
+                from ..dsp import wavetables as W
+                adj = lambda w: W.PICOEFFS[w][2] & 0xffffffff
+                r['wadj_delta'] = (adj(om.wave) - adj(wave_old)) \
+                    & 0xffffffff
+                r['phase_w'] = (od.phase + adj(om.wave)) & 0xffffffff
+                r['phase'] = od.phase
+                r['r2x_old'] = r2x_old
+                r['r2x_new'] = om.ras_rate2x
                 for sl, line in ((L_PAN, od.pan), (L_AMP, od.amp),
                                  (L_AMP2, od.amp2), (L_FREQ, od.freq),
                                  (L_FREQ2, od.freq2), (L_PMA, od.pm_a)):
@@ -373,28 +394,16 @@ class RenderPlan:
                                else ms2spl(od.time.v_ms, srate))
                 r['time_implicit'] = bool(od.time.flags
                                           & P.TIMEP_IMPLICIT)
-                r['phase'] = od.phase
                 r['seed'] = od.seed
                 r['mode_main'] = od.mode_main
-                ras = od.mode_ras or P.RasOpt()
-                r['ras_line'] = ras.line
-                r['ras_flags'] = ras.flags
-                r['ras_func'] = ras.func
-                r['ras_level'] = ras.level
-                r['ras_alpha'] = ras.alpha
                 r['vo'] = 0
                 r['carr'] = 0
                 recs.append(r)
             if e.vo_id != P.PVO_NO_ID:
-                r = {k: (0.0 if k.endswith(('_v0', '_vt')) else 0)
-                     for k in recs[-1].keys()} if recs else \
-                    self._blank_rec()
-                r = dict(r)
+                r = self._blank_rec()
                 r['kind'] = 1
                 r['vo'] = e.vo_id
                 r['carr'] = e.carr_op_id
-                r['op'] = 0
-                r['prepare'] = False
                 recs.append(r)
             ev_rec_hi.append(len(recs))
         self.ev_rec_lo = ev_rec_lo
@@ -406,9 +415,10 @@ class RenderPlan:
         for k in keys:
             if k.endswith(('_v0', '_vt')):
                 dt = np.float32
-            elif k in ('phase', 'seed', 'ras_alpha'):
+            elif k in ('phase', 'seed', 'phase_w', 'wadj_delta'):
                 dt = np.uint32
-            elif k in ('prepare', 'use_carr', 'time_implicit') or \
+            elif k in ('prepare', 'use_carr', 'time_implicit',
+                       'r2x_old', 'r2x_new') or \
                     k.endswith('_present'):
                 dt = np.bool_
             else:
@@ -421,9 +431,8 @@ class RenderPlan:
         r = {'kind': 0, 'op': 0, 'prepare': False, 'params': 0,
              'type': 0, 'use_carr': False, 'time_v': 0,
              'time_implicit': False, 'phase': 0, 'seed': 0,
-             'mode_main': 0, 'ras_line': 0, 'ras_flags': 0,
-             'ras_func': 0, 'ras_level': 0, 'ras_alpha': 0, 'vo': 0,
-             'carr': 0}
+             'mode_main': 0, 'phase_w': 0, 'wadj_delta': 0,
+             'r2x_old': True, 'r2x_new': True, 'vo': 0, 'carr': 0}
         for sl in range(6):
             r['l%d_present' % sl] = False
             r['l%d_flags' % sl] = 0
@@ -647,12 +656,23 @@ class RenderPlan:
             emit(Stage(K_VMIX, inst=carr_inst, op=carr, dst=pan_buf,
                        a=0, voice=v, freq_buf_id=freq_buf_id))
 
-        sig = tuple(
+        # duplicate-instance structure: an op referenced from several
+        # lists gets several instances; later ones must read the state
+        # written by earlier ones, and only the last writes back
+        first_inst = {}
+        inst_src = []
+        for ii, it in enumerate(insts):
+            inst_src.append(first_inst.get(it.op, -1))
+            if it.op not in first_inst:
+                first_inst[it.op] = ii
+        scatter_list = tuple(sorted(first_inst.values()))
+        stage_sig = tuple(
             (s.kind, s.inst, s.dst, s.a, s.b, s.c, s.line, s.wave_env,
              s.layer, s.skip_line, s.freq_buf_id,
              insts[s.inst].parent if s.inst >= 0 else -2,
              s.wave, s.ntype, s.ltype, s.ras)
             for s in stages)
+        sig = (stage_sig, tuple(inst_src), scatter_list)
         return stages, insts, sig
 
     # ------------------------------------------------------------------

@@ -26,9 +26,9 @@ SCRIPTS = [
 
 def render_jax(prg, srate):
     g = JaxGenerator(prg, srate)
-    f = g._render_f32()
-    li, ri = g._to_i16(f)
-    out = np.empty(f.shape[0] * 2, np.int16)
+    g._render_f32()
+    li, ri = g._i16
+    out = np.empty(li.shape[0] * 2, np.int16)
     out[0::2] = li
     out[1::2] = ri
     return out

@@ -15,7 +15,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden', 'ir')
 def golden_cases():
     cases = []
     for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, '*.txt'))):
-        rel = os.path.basename(path)[:-4].replace('__', '/')
+        rel = os.path.basename(path)[:-4].replace('@@', '/')
         cases.append((rel, path))
     return cases
 
