@@ -70,9 +70,28 @@ class Player:
                       % ('WAV', wav_path), file=sys.stderr)
                 self.ok = False
                 return
+        # dual-generator mode when the device negotiated a different
+        # rate while file/stdout output needs the requested rate
+        # (saugns.c:518-543)
+        self.ad_srate = getattr(self.ad, 'srate', srate) \
+            if self.ad is not None else srate
+        self.split_gen = False
+        if self.ad is not None and self.ad_srate != srate:
+            if (options & OPT_AUDIO_STDOUT) or self.sf is not None:
+                self.split_gen = True
+                print("warning: generating audio twice, using "
+                      "different sample rates", file=sys.stderr)
+            else:
+                self.srate = srate = self.ad_srate
         self.ch_len = max(prim.ms_in_samples(BUF_TIME_MS, srate),
                           CH_MIN_LEN)
         self.buf = np.zeros(self.ch_len * self.ch_count, dtype=np.int16)
+        if self.split_gen:
+            self.ad_ch_len = max(
+                prim.ms_in_samples(BUF_TIME_MS, self.ad_srate),
+                CH_MIN_LEN)
+            self.ad_buf = np.zeros(self.ad_ch_len * self.ch_count,
+                                   dtype=np.int16)
 
     def run(self, prg):
         if self.options & OPT_MODE_CHECK:
@@ -80,12 +99,21 @@ class Player:
         stereo = not (self.options & OPT_AUDIO_MONO)
         use_stdout = (self.options & OPT_AUDIO_STDOUT) != 0
         gen = _make_generator(prg, self.srate)
+        ad_gen = _make_generator(prg, self.ad_srate) \
+            if self.split_gen else None
         error = False
         more = True
         while more:
             more, out_len = gen.run(self.buf, self.ch_len, stereo)
             length = out_len
-            if self.ad is not None:
+            if ad_gen is not None:
+                ad_more, ad_len = ad_gen.run(self.ad_buf,
+                                             self.ad_ch_len, stereo)
+                more = more or ad_more
+                if self.ad is not None and \
+                        not self.ad.write(self.ad_buf, ad_len):
+                    error = True
+            elif self.ad is not None:
                 if not self.ad.write(self.buf, length):
                     error = True
             if use_stdout:

@@ -949,3 +949,244 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
     new_pp = jnp.where(has, phase_buf[li], prev_phase)
     new_ps = jnp.where(has, out[li], prev_s)
     return out, new_pp, new_ps
+
+
+def wosc_pairs(wave: int, p_prev, p_cur):
+    """Stateless oscillator output for (prev, cur) phase pairs of any
+    shape (flattened internally; pads to the Pallas tile size). Used
+    by the bulk-polyphony path where phases are closed-form."""
+    shape = p_cur.shape
+    pp = p_prev.reshape(-1)
+    pc = p_cur.reshape(-1)
+    n = pc.shape[0]
+    pad = (-n) % 2048
+    if pad:
+        pp = jnp.concatenate([pp, jnp.zeros(pad, u32)])
+        pc = jnp.concatenate([pc, jnp.zeros(pad, u32)])
+    cells1 = (pp >> SLENBITS).astype(i32)
+    cells2 = (pc >> SLENBITS).astype(i32)
+    taps = gather_taps(jnp.concatenate([cells1, cells2]), wave)
+    taps1 = taps[:cells1.shape[0]]
+    taps2 = taps[cells1.shape[0]:]
+    s = _diff_from_taps(wave, pp, pc, taps1, taps2)
+    if pad:
+        s = s[:n]
+    return s.reshape(shape)
+
+
+def _diff_from_taps(wave: int, p_prev, p_cur, taps1, taps2):
+    """Compensated, cancellation-free oscillator sample from phase
+    pairs and their Hermite taps (shared core of wosc_run_taps)."""
+    pd = asi32(p_cur - p_prev)
+    x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    x2 = (p_cur & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    c1a, c2a, c3a = _coeffs_from_taps(taps1)
+    c1b, c2b, c3b = _coeffs_from_taps(taps2)
+    one = np.float32(1.0)
+    diff_scale = np.float32(W.dvscale(wave))
+    diff_offset = np.float32(W.dvoffset(wave))
+    valid = pd != 0
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    xf = diff_scale / pdf
+    q3 = x2 * x2 + x1 * x2 + x1 * x1
+    q2 = x2 + x1
+    t3h, t3l = _two_prod(c3a, q3)
+    t2h, t2l = _two_prod(c2a, q2)
+    bh, be = _two_sum(t3h, t2h)
+    bh, be2 = _two_sum(bh, c1a)
+    b_lo = be + be2 + t3l + t2l
+    m_same = (x2 - x1)
+    head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
+    tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
+    th, tl = _two_prod(one - x1, tailb)
+    mh, ml = _two_sum(taps2[..., 1], -taps1[..., 2])
+    dh, de = _two_sum(head_h, th)
+    dh, de2 = _two_sum(dh, mh)
+    d_lo = de + de2 + head_l + tl + ml
+    i1 = (p_prev >> SLENBITS).astype(i32)
+    i2 = (p_cur >> SLENBITS).astype(i32)
+    same_cell = i1 == i2
+    dIs_h = jnp.where(same_cell, bh * m_same, dh)
+    dIs_l = jnp.where(same_cell, b_lo * m_same, d_lo)
+    ph, pe = _two_prod(dIs_h, xf)
+    lo = pe + dIs_l * xf
+    sh, se = _two_sum(ph, diff_offset)
+    s = sh + (se + lo)
+    return jnp.where(valid, s, np.float32(0.0))
+
+
+# -- Pallas prefix scans -------------------------------------------------------
+#
+# jax.lax.associative_scan lowers to ~log2(B) slice/pad/add rounds,
+# each a separate XLA fusion with an HBM round trip; inside the
+# per-block scan body those launches dominate. These kernels run the
+# whole Hillis-Steele scan in VMEM: per-row scan along lanes, then a
+# row-offset scan along sublanes.
+
+def _scan_kernel_body(rows, combine, identity, y):
+    """In-kernel inclusive scan of y (R, 128) in flattened row-major
+    order."""
+    from jax.experimental.pallas import tpu as pltpu
+    R = rows
+    lane = jax.lax.broadcasted_iota(i32, (R, 128), 1)
+    k = 1
+    while k < 128:
+        sh = tuple(pltpu.roll(v, np.int32(k), 1) for v in y)
+        sh = tuple(jnp.where(lane >= k, s, i_)
+                   for s, i_ in zip(sh, identity))
+        y = combine(y, sh)
+        k *= 2
+    # row offsets: scan of row totals (lane 127) along sublanes
+    row = jax.lax.broadcasted_iota(i32, (R, 128), 0)
+    tot = tuple(jnp.broadcast_to(v[:, 127:128], (R, 128)) for v in y)
+    c = tot
+    k = 1
+    while k < R:
+        sh = tuple(pltpu.roll(v, np.int32(k), 0) for v in c)
+        sh = tuple(jnp.where(row >= k, s, i_)
+                   for s, i_ in zip(sh, identity))
+        c = combine(c, sh)
+        k *= 2
+    # exclusive offsets = inclusive row scan minus own total
+    neg = combine_inverse = None
+    return y, c, tot
+
+
+def _pallas_scan_add_u32(x):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = x.shape[0]
+    R = B // 128
+
+    def kernel(x_ref, o_ref):
+        y = (x_ref[:].reshape(R, 128),)
+        ident = (jnp.zeros((R, 128), u32),)
+        comb = lambda a, b: (a[0] + b[0],)
+        y, c, tot = _scan_kernel_body(R, comb, ident, y)
+        out = y[0] + (c[0] - tot[0])
+        o_ref[:] = out.reshape(B)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B,), u32))(x)
+
+
+def _pallas_scan_add_u64(x_lo, x_hi):
+    """64-bit prefix sum as (lo, hi) u32 planes with exact carries."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = x_lo.shape[0]
+    R = B // 128
+
+    K = np.uint32(0x80000000)
+
+    def ult(a, b):
+        # Mosaic lowers u32 '<' as signed; bias to get unsigned compare
+        return asi32(a ^ K) < asi32(b ^ K)
+
+    def add64(a, b):
+        lo = a[0] + b[0]
+        carry = ult(lo, a[0]).astype(u32)
+        hi = a[1] + b[1] + carry
+        return (lo, hi)
+
+    def sub64(a, b):
+        lo = a[0] - b[0]
+        borrow = ult(a[0], b[0]).astype(u32)
+        hi = a[1] - b[1] - borrow
+        return (lo, hi)
+
+    def kernel(lo_ref, hi_ref, olo_ref, ohi_ref):
+        y = (lo_ref[:].reshape(R, 128), hi_ref[:].reshape(R, 128))
+        ident = (jnp.zeros((R, 128), u32), jnp.zeros((R, 128), u32))
+        y, c, tot = _scan_kernel_body(R, add64, ident, y)
+        offs = sub64(c, tot)
+        out = add64(y, offs)
+        olo_ref[:] = out[0].reshape(B)
+        ohi_ref[:] = out[1].reshape(B)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B,), u32),
+                   jax.ShapeDtypeStruct((B,), u32)))(x_lo, x_hi)
+
+
+def _pallas_scan_max_i32(x):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = x.shape[0]
+    R = B // 128
+
+    def kernel(x_ref, o_ref):
+        y = (x_ref[:].reshape(R, 128),)
+        ident = (jnp.zeros((R, 128), i32),)  # values are >= 0
+        comb = lambda a, b: (jnp.maximum(a[0], b[0]),)
+        y, c, tot = _scan_kernel_body(R, comb, ident, y)
+        # max is idempotent: row-inclusive scan can be applied directly
+        out = jnp.maximum(y[0], c[0] - tot[0] + tot[0] - tot[0]
+                          + (c[0] - c[0]))  # placeholder; fixed below
+        o_ref[:] = out.reshape(B)
+
+    # For max, the exclusive row offset is the inclusive row scan
+    # shifted by one row; build it with an extra roll inside:
+    def kernel2(x_ref, o_ref):
+        from jax.experimental.pallas import tpu as pltpu
+        y = x_ref[:].reshape(R, 128)
+        lane = jax.lax.broadcasted_iota(i32, (R, 128), 1)
+        k = 1
+        while k < 128:
+            sh = pltpu.roll(y, np.int32(k), 1)
+            y = jnp.maximum(y, jnp.where(lane >= k, sh, 0))
+            k *= 2
+        row = jax.lax.broadcasted_iota(i32, (R, 128), 0)
+        tot = jnp.broadcast_to(y[:, 127:128], (R, 128))
+        # exclusive row max: shift totals down one row, then scan
+        prev = jnp.where(row >= 1, pltpu.roll(tot, np.int32(1), 0), 0)
+        k = 1
+        while k < R:
+            sh = pltpu.roll(prev, np.int32(k), 0)
+            prev = jnp.maximum(prev, jnp.where(row >= k, sh, 0))
+            k *= 2
+        o_ref[:] = jnp.maximum(y, prev).reshape(B)
+
+    return pl.pallas_call(
+        kernel2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B,), i32))(x)
+
+
+def _use_pallas_scan():
+    import os
+    return os.environ.get('SAUGNS_TPU_PALLAS_SCAN', '0') == '1'
+
+
+def cumsum_u32(x):
+    """Inclusive u32 prefix sum (wrapping)."""
+    if _use_pallas_scan() and _on_tpu() and x.shape[0] % 1024 == 0:
+        return _pallas_scan_add_u32(x)
+    return jax.lax.associative_scan(jnp.add, x)
+
+
+def cumsum_u64(x):
+    """Inclusive u64 prefix sum (wrapping)."""
+    if _use_pallas_scan() and _on_tpu() and x.shape[0] % 1024 == 0:
+        lo = x.astype(u64) & np.uint64(0xffffffff)
+        lo32 = lo.astype(u32)
+        hi32 = (x >> np.uint64(32)).astype(u32)
+        olo, ohi = _pallas_scan_add_u64(lo32, hi32)
+        return olo.astype(u64) | (ohi.astype(u64) << np.uint64(32))
+    return jax.lax.associative_scan(jnp.add, x)
+
+
+def cummax_i32(x):
+    """Inclusive i32 prefix max (values >= 0)."""
+    if _use_pallas_scan() and _on_tpu() and x.shape[0] % 1024 == 0:
+        return _pallas_scan_max_i32(x)
+    return jax.lax.associative_scan(jnp.maximum, x)
