@@ -53,14 +53,17 @@ def main():
         # pass 1: compile + warm (uploads cached on the generator)
         g = JaxGenerator(prg, SRATE)
         jax.block_until_ready(g.render_device())
-        # pass 2: steady-state render throughput, device-resident
-        # (int16 audio stays on device; the host pull is a property of
-        # the deployment link, reported separately)
-        t0 = time.time()
-        pieces = g.render_device()
-        jax.block_until_ready(pieces)
-        wall = time.time() - t0
-        audio_s = plan_audio = g.plan.signal_end / SRATE
+        # steady-state render throughput, device-resident (int16 audio
+        # stays on device; the host pull is a property of the
+        # deployment link, reported separately). Best of 3: the bench
+        # chip is shared, so single passes can hit tenant contention.
+        wall = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            pieces = g.render_device()
+            jax.block_until_ready(pieces)
+            wall = min(wall, time.time() - t0)
+        audio_s = g.plan.signal_end / SRATE
         results[name] = audio_s / wall
         if name != 'wsin':  # aggregate over the example corpus configs
             tot_audio += audio_s
@@ -84,10 +87,12 @@ def main():
         fn = jax.jit(lambda *a: render_fm_bank(mesh, *a,
                                                n_samples=n_samples))
         fn(*args)[0].block_until_ready()
-        t0 = time.time()
-        out = fn(*args)
-        out.block_until_ready()
-        wall = time.time() - t0
+        wall = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*args)
+            out.block_until_ready()
+            wall = min(wall, time.time() - t0)
         results['poly1024'] = (n_samples / SRATE) / wall
         print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f (1024 voices)'
               % ('poly1024', n_samples / SRATE, wall,

@@ -25,17 +25,17 @@ OPT_MODE_CHECK = 1 << 6
 
 
 def _make_generator(prg, srate):
-    """Select render backend: 'jax' (TPU engine) or 'cpu' (NumPy
-    reference). SAUGNS_TPU_BACKEND overrides; defaults to jax when
-    available."""
-    backend = os.environ.get('SAUGNS_TPU_BACKEND', 'auto')
-    if backend in ('jax', 'auto'):
-        try:
-            from ..render.engine import JaxGenerator
-            return JaxGenerator(prg, srate)
-        except Exception:
-            if backend == 'jax':
-                raise
+    """Select render backend: 'cpu' (host renderer, bit-exact vs the
+    reference binary on the headline corpus -- native-C hot paths) or
+    'jax' (TPU engine, the throughput path for device-resident /
+    bulk-polyphony rendering; agrees with the host renderer to
+    ~76-108 dB SNR, see docs/BENCH.md). File/audio output defaults to
+    the exact host path; set SAUGNS_TPU_BACKEND=jax to render on
+    device."""
+    backend = os.environ.get('SAUGNS_TPU_BACKEND', 'cpu')
+    if backend == 'jax':
+        from ..render.engine import JaxGenerator
+        return JaxGenerator(prg, srate)
     from ..render.cpu import Generator
     return Generator(prg, srate)
 

@@ -98,8 +98,10 @@ def render_fm_bank(mesh: Mesh, freq, ratio, index, amp, pan, n_samples,
 
     in_specs = (vspec,) * 5
     out_spec = P('time') if has_time else P()
+    # check_vma=False: the Pallas tap-gather inside doesn't annotate
+    # varying-mesh-axes metadata on its ShapeDtypeStructs
     fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_spec)
+                       out_specs=out_spec, check_vma=False)
     return fn(freq, ratio, index, amp, pan)
 
 

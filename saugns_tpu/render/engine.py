@@ -382,6 +382,156 @@ def apply_records(st, lo, hi, recs):
 
 # -- epoch execution ---------------------------------------------------------
 
+def _analyze_schedule(stage_sig, inst_src):
+    """Host-side dependency analysis of an epoch schedule.
+
+    Buffers are SSA-renamed (each write creates a new version) and
+    per-op state cells are sequentially chained, giving a DAG whose
+    longest-path levels define a correct parallel order: stages at the
+    same level are independent, so their fusion-breaking primitives
+    (phasor prefix scans, tap gathers) can be batched into single
+    kernel calls. This is pure reordering -- every stage computes
+    bit-identical values to the sequential schedule.
+
+    Returns (plan, rkey, wkey): plan is a list of execution groups
+    ('stages', [si..]) / ('wphase', [si..]) / ('rcycle', [si..]) /
+    ('wrun', wave, [si..]); rkey[si]/wkey[si] map buffer slots to
+    SSA (slot, version) keys."""
+    n = len(stage_sig)
+    deps = [set() for _ in range(n)]
+    rkey = [dict() for _ in range(n)]
+    wkey = [dict() for _ in range(n)]
+    cur: Dict[int, tuple] = {}
+    cells_last: Dict[tuple, int] = {}
+    mix_last = None
+
+    def rd(si, slot):
+        if slot is None or slot < 0:
+            return
+        ver, prod = cur.get(slot, (0, None))
+        rkey[si][slot] = (slot, ver)
+        if prod is not None:
+            deps[si].add(prod)
+
+    def wr(si, slot):
+        ver, _ = cur.get(slot, (0, None))
+        cur[slot] = (ver + 1, si)
+        wkey[si][slot] = (slot, ver + 1)
+
+    def cell(si, key):
+        prev = cells_last.get(key)
+        if prev is not None and prev != si:
+            deps[si].add(prev)
+        cells_last[key] = si
+
+    for si, s in enumerate(stage_sig):
+        (kind, inst, dst, a, b, c, line, wave_env, layer, skip_line,
+         fbid, par, wave, ntype, ltype, ras) = s
+        row = inst_src[inst] if inst >= 0 and inst_src[inst] >= 0 \
+            else inst
+        if kind == K_LINE:
+            rd(si, a)
+            wr(si, dst)
+            cell(si, (row, 'L', line))
+        elif kind == K_RANGEMOD:
+            rd(si, dst)
+            rd(si, a)
+            rd(si, b)
+            wr(si, dst)
+        elif kind in (K_CONST1, K_ZERO):
+            wr(si, dst)
+        elif kind == K_NOISE:
+            wr(si, dst)
+            cell(si, (row, 'N'))
+        elif kind == K_WPHASE:
+            rd(si, a)
+            rd(si, b)
+            rd(si, c)
+            wr(si, dst)
+            cell(si, (row, 'PH'))
+        elif kind in (K_WRUN, K_WRUN_SELF):
+            rd(si, a)
+            if kind == K_WRUN_SELF:
+                rd(si, b)
+            wr(si, dst)
+            cell(si, (row, 'W'))
+        elif kind == K_RCYCLE:
+            rd(si, a)
+            rd(si, b)
+            rd(si, c)
+            wr(si, dst)
+            wr(si, dst + 1)
+            cell(si, (row, 'RC'))
+        elif kind in (K_RRUN, K_RRUN_SELF):
+            rd(si, a)
+            rd(si, dst)
+            if kind == K_RRUN_SELF:
+                rd(si, b)
+            wr(si, dst)
+            if kind == K_RRUN_SELF:
+                cell(si, (row, 'RS'))
+        elif kind == K_MIX:
+            rd(si, a)
+            rd(si, b)
+            if layer:
+                rd(si, dst)
+            wr(si, dst)
+        elif kind == K_VMIX:
+            rd(si, dst)
+            rd(si, a)
+            # stereo accumulation order is part of the bit-exact
+            # contract: chain VMIX stages
+            if mix_last is not None:
+                deps[si].add(mix_last)
+            mix_last = si
+        for sl in skip_line:
+            cell(si, (row, 'L', sl))
+
+    level = [0] * n
+    for si in range(n):
+        level[si] = 1 + max((level[d] for d in deps[si]), default=-1)
+
+    import os
+    plan = []
+    if os.environ.get('SAUGNS_TPU_LEVELBATCH', '1') != '1':
+        if n:
+            plan.append(('stages', list(range(n))))
+        return plan, rkey, wkey
+    for lv in range((max(level) + 1) if n else 0):
+        sis = [si for si in range(n) if level[si] == lv]
+        rest = []
+        wp = []
+        rc = []
+        wrun_by_wave: Dict[int, list] = {}
+        for si in sis:
+            kind = stage_sig[si][0]
+            if kind == K_WPHASE:
+                wp.append(si)
+            elif kind == K_RCYCLE:
+                rc.append(si)
+            elif kind == K_WRUN:
+                wrun_by_wave.setdefault(stage_sig[si][12],
+                                        []).append(si)
+            else:
+                rest.append(si)
+        if len(wp) > 1:
+            plan.append(('wphase', wp))
+        else:
+            rest = wp + rest
+        if len(rc) > 1:
+            plan.append(('rcycle', rc))
+        else:
+            rest = rc + rest
+        for wave, group in sorted(wrun_by_wave.items()):
+            if len(group) > 1:
+                plan.append(('wrun', wave, group))
+            else:
+                rest = group + rest
+        if rest:
+            plan.append(('stages', sorted(rest)))
+    return plan, rkey, wkey
+
+
 def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                    inst_parent, stage_voices, srate):
     """Build the scan step for one epoch schedule. ``sig`` =
@@ -393,6 +543,7 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
     stage_sig, inst_src, scatter_list = sig
     coeff = np.float32(np.float32(4294967296.0) / np.float64(srate))
     amp_scale = np.float32(amp_scale)
+    exec_plan, rkey, wkey = _analyze_schedule(stage_sig, inst_src)
 
     def epoch_fn(st, blk_len, blk_rlo, blk_rhi, blk_stage_op,
                  blk_inst_op, recs):
@@ -406,7 +557,6 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                                                        recs),
                               lambda s_: s_, st)
             idx = jnp.arange(B, dtype=i32)
-            bufs: Dict[int, jnp.ndarray] = {}
             mixl = jnp.zeros(B, f32)
             mixr = jnp.zeros(B, f32)
             # one row gather for all per-op scalars this block
@@ -489,135 +639,191 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                 if 'end' in ls:
                     pi(inst, C_LEND + slot, ls['end'], gate)
 
+            # instance begin/end bookkeeping in original order
+            # (scalar-only; reads/writes only C_TIME/C_TINF cells,
+            # which no vector stage touches)
             for si_, s in enumerate(stage_sig):
+                inst = s[1]
+                if inst >= 0:
+                    if not inst_done[inst]:
+                        inst_begin(inst, stage_voices[si_])
+                        inst_done[inst] = True
+                    if last_stage.get(inst) == si_:
+                        inst_end(inst)
+
+            # SSA-versioned buffer values
+            vals: Dict[tuple, jnp.ndarray] = {}
+
+            def rdbuf(si_, slot, default=None):
+                if slot is None or slot < 0:
+                    return default
+                key = rkey[si_].get(slot)
+                if key is None or key not in vals:
+                    return default
+                return vals[key]
+
+            def wrbuf(si_, slot, v):
+                vals[wkey[si_][slot]] = v
+
+            def stage_lg(si_, s):
+                inst = s[1]
+                if inst >= 0:
+                    return lens[inst], gates[inst]
+                v = stage_voices[si_]
+                return jnp.minimum(st['vdur'][v], blen), vgate[v]
+
+            def wphase_incs(si_, s, length):
+                freq = rdbuf(si_, s[3])
+                incs = jdsp.ftoi(coeff * freq).astype(u32)
+                return jnp.where(idx < length, incs, np.uint32(0)), \
+                    freq
+
+            def wphase_finish(si_, s, run0, freq, length, gate):
+                (kind, inst, dst, a, b, c) = s[:6]
+                run = run0 + gu(inst, C_PHASE)
+                if b >= 0 and c >= 0:
+                    s_pofs = rdbuf(si_, b) + rdbuf(si_, c) \
+                        * jdsp.HUMMID_INV * freq
+                    ofs = jdsp.ftoi(s_pofs * jdsp.P31).astype(u32)
+                elif b >= 0:
+                    ofs = jdsp.ftoi(rdbuf(si_, b)
+                                    * jdsp.P31).astype(u32)
+                elif c >= 0:
+                    s_pofs = rdbuf(si_, c) * jdsp.HUMMID_INV * freq
+                    ofs = jdsp.ftoi(s_pofs * jdsp.P31).astype(u32)
+                else:
+                    ofs = jnp.zeros(B, u32)
+                wrbuf(si_, dst, ofs + run)
+                pu(inst, C_PHASE, run[B - 1], gate & (length > 0))
+
+            def rcycle_incs(si_, s, length):
+                freq = rdbuf(si_, s[3])
+                r2x = s[15][5]
+                coeff_e = np.float32(coeff * 2) if r2x else coeff
+                incs = jdsp.ftoi(coeff_e * freq).astype(jnp.uint64)
+                return jnp.where(idx < length, incs,
+                                 np.uint64(0)), freq
+
+            def rcycle_finish(si_, s, csum, incs, freq, length, gate):
+                (kind, inst, dst, a, b, c) = s[:6]
+                ras = s[15]
+                r2x = ras[5]
+                pscale = np.float32(jdsp.P31 * 2) if r2x \
+                    else jdsp.P31
+                cp0 = (gu(inst, C_RCPHI).astype(jnp.uint64)
+                       << np.uint64(32)) \
+                    | gu(inst, C_RCPLO).astype(jnp.uint64)
+                base = cp0 + csum - incs
+                if b >= 0 and c >= 0:
+                    s_pofs = rdbuf(si_, b) + rdbuf(si_, c) \
+                        * jdsp.HUMMID_INV * freq
+                    ofs = jdsp.ftoi(s_pofs * pscale).astype(
+                        jnp.uint64)
+                elif b >= 0:
+                    ofs = jdsp.ftoi(rdbuf(si_, b) * pscale).astype(
+                        jnp.uint64)
+                elif c >= 0:
+                    s_pofs = rdbuf(si_, c) * jdsp.HUMMID_INV * freq
+                    ofs = jdsp.ftoi(s_pofs * pscale).astype(
+                        jnp.uint64)
+                else:
+                    ofs = jnp.zeros(B, jnp.uint64)
+                cph = ofs + base
+                wrbuf(si_, dst, (cph >> np.uint64(32)).astype(u32))
+                phs = (cph.astype(u32) >> np.uint32(1))
+                wrbuf(si_, dst + 1,
+                      jdsp.asi32(phs).astype(f32) * jdsp.SCALE31)
+                cp1 = cp0 + csum[B - 1]
+                upd = gate & (length > 0)
+                pu(inst, C_RCPLO, cp1.astype(u32), upd)
+                pu(inst, C_RCPHI,
+                   (cp1 >> np.uint64(32)).astype(u32), upd)
+
+            def wrun_exec(si_, s, length, gate, taps2=None):
+                (kind, inst, dst, a, b) = s[:5]
+                wave = s[12]
+                reset = (gi(inst, C_WRESET) != 0) & (length > 0)
+                if kind == K_WRUN:
+                    out, npp, nps = jdsp.wosc_run_taps(
+                        wave, rdbuf(si_, a), gu(inst, C_WPPH),
+                        gf(inst, C_WPS), reset, length, taps2=taps2)
+                else:
+                    out, npp, nps, nfb = jdsp.wosc_selfmod_scan(
+                        piluts[wave], wave, rdbuf(si_, a),
+                        rdbuf(si_, b), gu(inst, C_WPPH),
+                        gf(inst, C_WPS), gf(inst, C_WFB), reset,
+                        length)
+                    pf(inst, C_WFB, nfb, gate)
+                wrbuf(si_, dst, out)
+                upd = gate & (length > 0)
+                pu(inst, C_WPPH, npp, upd)
+                pf(inst, C_WPS, nps, upd)
+                pi(inst, C_WRESET, 0, upd)
+
+            def exec_stage(si_):
+                nonlocal mixl, mixr
+                s = stage_sig[si_]
                 (kind, inst, dst, a, b, c, line, wave_env, layer,
                  skip_line, freq_buf_id, _par, wave, ntype, ltype,
                  ras) = s
-                v = stage_voices[si_]
-                if inst >= 0 and not inst_done[inst]:
-                    inst_begin(inst, v)
-                    inst_done[inst] = True
-                if inst >= 0:
-                    length = lens[inst]
-                    gate = gates[inst]
-                else:
-                    length = jnp.minimum(st['vdur'][v], blen)
-                    gate = vgate[v]
+                length, gate = stage_lg(si_, s)
                 mask = idx < length
 
                 if kind == K_LINE:
-                    mul = bufs.get(a) if a >= 0 else None
+                    mul = rdbuf(si_, a) if a >= 0 else None
                     ls = line_state(inst, line)
                     out, nls = line_run_vec(ls, B, length, mul,
                                             static_type=ltype)
-                    bufs[dst] = out
+                    wrbuf(si_, dst, out)
                     put_line(inst, line, nls, gate)
                 elif kind == K_RANGEMOD:
-                    par = bufs[dst]
-                    bufs[dst] = jnp.where(
-                        mask, par + (bufs[a] - par) * bufs[b], par)
+                    par = rdbuf(si_, dst)
+                    wrbuf(si_, dst, jnp.where(
+                        mask,
+                        par + (rdbuf(si_, a) - par) * rdbuf(si_, b),
+                        par))
                 elif kind == K_CONST1:
-                    bufs[dst] = jnp.ones(B, f32)
+                    wrbuf(si_, dst, jnp.ones(B, f32))
                 elif kind == K_NOISE:
                     out, nprev = jdsp.noise_run(
                         ntype, gu(inst, C_NN), gu(inst, C_NPREV),
                         length, B)
-                    bufs[dst] = out
+                    wrbuf(si_, dst, out)
                     pu(inst, C_NN,
                        gu(inst, C_NN) + length.astype(u32), gate)
                     pu(inst, C_NPREV, nprev, gate)
                 elif kind == K_WPHASE:
-                    freq = bufs[a]
-                    incs = jdsp.ftoi(coeff * freq).astype(u32)
-                    incs = jnp.where(mask, incs, np.uint32(0))
-                    run = jdsp.prefix_sum(incs) + gu(inst, C_PHASE)
-                    if b >= 0 and c >= 0:
-                        s_pofs = bufs[b] + bufs[c] \
-                            * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * jdsp.P31).astype(u32)
-                    elif b >= 0:
-                        ofs = jdsp.ftoi(bufs[b] * jdsp.P31).astype(u32)
-                    elif c >= 0:
-                        s_pofs = bufs[c] * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * jdsp.P31).astype(u32)
-                    else:
-                        ofs = jnp.zeros(B, u32)
-                    bufs[dst] = ofs + run
-                    pu(inst, C_PHASE, run[B - 1],
-                       gate & (length > 0))
+                    incs, freq = wphase_incs(si_, s, length)
+                    run0 = jdsp.prefix_sum(incs)
+                    wphase_finish(si_, s, run0, freq, length, gate)
                 elif kind in (K_WRUN, K_WRUN_SELF):
-                    reset = (gi(inst, C_WRESET) != 0) & (length > 0)
-                    if kind == K_WRUN:
-                        out, npp, nps = jdsp.wosc_run_taps(
-                            wave, bufs[a], gu(inst, C_WPPH),
-                            gf(inst, C_WPS), reset, length)
-                    else:
-                        out, npp, nps, nfb = jdsp.wosc_selfmod_scan(
-                            piluts[wave], wave, bufs[a], bufs[b],
-                            gu(inst, C_WPPH), gf(inst, C_WPS),
-                            gf(inst, C_WFB), reset, length)
-                        pf(inst, C_WFB, nfb, gate)
-                    bufs[dst] = out
-                    upd = gate & (length > 0)
-                    pu(inst, C_WPPH, npp, upd)
-                    pf(inst, C_WPS, nps, upd)
-                    pi(inst, C_WRESET, 0, upd)
+                    wrun_exec(si_, s, length, gate)
                 elif kind == K_RCYCLE:
-                    freq = bufs[a]
-                    r2x = ras[5]
-                    coeff_e = np.float32(coeff * 2) if r2x else coeff
-                    pscale = np.float32(jdsp.P31 * 2) if r2x \
-                        else jdsp.P31
-                    incs = jdsp.ftoi(coeff_e * freq).astype(jnp.uint64)
-                    incs = jnp.where(mask, incs, np.uint64(0))
+                    incs, freq = rcycle_incs(si_, s, length)
                     csum = jdsp.prefix_sum(incs)
-                    cp0 = (gu(inst, C_RCPHI).astype(jnp.uint64)
-                           << np.uint64(32)) \
-                        | gu(inst, C_RCPLO).astype(jnp.uint64)
-                    base = cp0 + csum - incs
-                    if b >= 0 and c >= 0:
-                        s_pofs = bufs[b] + bufs[c] \
-                            * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * pscale).astype(
-                            jnp.uint64)
-                    elif b >= 0:
-                        ofs = jdsp.ftoi(bufs[b] * pscale).astype(
-                            jnp.uint64)
-                    elif c >= 0:
-                        s_pofs = bufs[c] * jdsp.HUMMID_INV * freq
-                        ofs = jdsp.ftoi(s_pofs * pscale).astype(
-                            jnp.uint64)
-                    else:
-                        ofs = jnp.zeros(B, jnp.uint64)
-                    cph = ofs + base
-                    bufs[dst] = (cph >> np.uint64(32)).astype(u32)
-                    phs = (cph.astype(u32) >> np.uint32(1))
-                    bufs[dst + 1] = jdsp.asi32(phs).astype(f32) \
-                        * jdsp.SCALE31
-                    cp1 = cp0 + csum[B - 1]
-                    upd = gate & (length > 0)
-                    pu(inst, C_RCPLO, cp1.astype(u32), upd)
-                    pu(inst, C_RCPHI, (cp1 >> np.uint64(32)).astype(
-                        u32), upd)
+                    rcycle_finish(si_, s, csum, incs, freq, length,
+                                  gate)
                 elif kind in (K_RRUN, K_RRUN_SELF):
                     rline, func, level, alpha, oflags, _r2x = ras
                     if kind == K_RRUN:
                         av, bv = jdsp.rasg_map(func, level, alpha,
-                                               oflags, bufs[a])
+                                               oflags, rdbuf(si_, a))
                         out = jdsp.rasg_shape(rline, oflags,
-                                              bufs[dst], av, bv)
+                                              rdbuf(si_, dst), av, bv)
                     else:
                         out, nps, nfb = jdsp.rasg_selfmod_scan(
                             func, rline, level, alpha, oflags,
-                            bufs[dst], bufs[a], bufs[b],
+                            rdbuf(si_, dst), rdbuf(si_, a),
+                            rdbuf(si_, b),
                             gf(inst, C_RPS), gf(inst, C_RFB), length)
                         pf(inst, C_RPS, nps, gate)
                         pf(inst, C_RFB, nfb, gate)
-                    bufs[dst] = out
+                    wrbuf(si_, dst, out)
                 elif kind == K_MIX:
-                    src = bufs[a]
-                    amp = bufs[b]
-                    prev = bufs.get(dst, jnp.zeros(B, f32))
+                    src = rdbuf(si_, a)
+                    amp = rdbuf(si_, b)
+                    prev = rdbuf(si_, dst, jnp.zeros(B, f32)) \
+                        if layer else jnp.zeros(B, f32)
                     if wave_env:
                         s_amp = amp * np.float32(0.5)
                         sv = src * s_amp + jnp.abs(s_amp)
@@ -625,15 +831,15 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     else:
                         new = prev + src * amp if layer else src * amp
                     if layer:
-                        bufs[dst] = jnp.where(mask, new, prev)
+                        wrbuf(si_, dst, jnp.where(mask, new, prev))
                     else:
-                        bufs[dst] = jnp.where(mask, new,
-                                              np.float32(0.0))
+                        wrbuf(si_, dst, jnp.where(mask, new,
+                                                  np.float32(0.0)))
                 elif kind == K_ZERO:
-                    bufs[dst] = jnp.zeros(B, f32)
+                    wrbuf(si_, dst, jnp.zeros(B, f32))
                 elif kind == K_VMIX:
-                    pan = bufs[dst]
-                    sv = bufs[0] * amp_scale
+                    pan = rdbuf(si_, dst)
+                    sv = rdbuf(si_, a) * amp_scale
                     sr = sv * pan
                     mgate = mask & gate
                     mixl = mixl + jnp.where(mgate, sv - sr,
@@ -646,8 +852,47 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                         ls = line_state(inst, slot)
                         nls = line_skip_vec(ls, length)
                         put_line(inst, slot, nls, gate)
-                if inst >= 0 and last_stage.get(inst) == si_:
-                    inst_end(inst)
+
+            for group in exec_plan:
+                if group[0] == 'stages':
+                    for si_ in group[1]:
+                        exec_stage(si_)
+                elif group[0] == 'wphase':
+                    sis = group[1]
+                    lgs = [stage_lg(si_, stage_sig[si_])
+                           for si_ in sis]
+                    ifs = [wphase_incs(si_, stage_sig[si_], lg[0])
+                           for si_, lg in zip(sis, lgs)]
+                    runs = jdsp.prefix_sum_rows(
+                        jnp.stack([inc for inc, _ in ifs]))
+                    for k, si_ in enumerate(sis):
+                        wphase_finish(si_, stage_sig[si_], runs[k],
+                                      ifs[k][1], lgs[k][0], lgs[k][1])
+                elif group[0] == 'rcycle':
+                    sis = group[1]
+                    lgs = [stage_lg(si_, stage_sig[si_])
+                           for si_ in sis]
+                    ifs = [rcycle_incs(si_, stage_sig[si_], lg[0])
+                           for si_, lg in zip(sis, lgs)]
+                    csums = jdsp.prefix_sum_rows(
+                        jnp.stack([inc for inc, _ in ifs]))
+                    for k, si_ in enumerate(sis):
+                        rcycle_finish(si_, stage_sig[si_], csums[k],
+                                      ifs[k][0], ifs[k][1],
+                                      lgs[k][0], lgs[k][1])
+                elif group[0] == 'wrun':
+                    wave, sis = group[1], group[2]
+                    lgs = [stage_lg(si_, stage_sig[si_])
+                           for si_ in sis]
+                    cells = [jdsp.wosc_cells(
+                        rdbuf(si_, stage_sig[si_][3]))
+                        for si_ in sis]
+                    taps_all = jdsp.gather_taps(
+                        jnp.concatenate(cells), wave)
+                    for k, si_ in enumerate(sis):
+                        wrun_exec(si_, stage_sig[si_], lgs[k][0],
+                                  lgs[k][1],
+                                  taps2=taps_all[k * B:(k + 1) * B])
 
             # write back packed rows (only the last instance per op)
             if n_insts:

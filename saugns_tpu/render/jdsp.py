@@ -126,11 +126,91 @@ def foldhd32(s):
     return (s - np.uint32(1 << 29)) * np.uint32(2)
 
 
+def _mxu_cumsum_limbs(x, nbits, n_limbs, dtype):
+    """Exact integer prefix sum on the MXU via limb decomposition.
+
+    Split each element into 8-bit limbs (exact in bf16, so the MXU's
+    default-precision f32 matmul is exact: products <= 255, f32
+    accumulation <= 128*255 < 2^24). Intra-row inclusive scans are
+    ``limbs @ triu(ones(128,128))``; row offsets re-split the row
+    totals and use ``tril(ones(R,R), -1) @ limbs``. Recombining with
+    wrapping shifts is exact mod 2^32/2^64. Replaces
+    lax.associative_scan, which lowers to ~5*log2(B) slice/pad/add
+    kernels per call -- their fixed launch costs dominated the render
+    loop (measured ~75 kernels and ~300 us per scan on v5e)."""
+    B = x.shape[0]
+    R = B // 128
+    xm = x.reshape(R, 128)
+    mask = dtype(255)
+
+    def split(v):
+        return [((v >> dtype(8 * i)) & mask).astype(f32)
+                for i in range(n_limbs)]
+
+    def combine(parts):
+        acc = parts[0].astype(x.dtype)
+        for i in range(1, n_limbs):
+            acc = acc + (parts[i].astype(x.dtype) << dtype(8 * i))
+        return acc
+
+    U = jnp.triu(jnp.ones((128, 128), f32))
+    intra = combine([jnp.dot(l, U) for l in split(xm)])
+    rt = intra[:, 127]
+    Lm = jnp.tril(jnp.ones((R, R), f32), -1)
+    offs = combine([jnp.dot(Lm, l) for l in split(rt)])
+    return (intra + offs[:, None]).reshape(B)
+
+
 def prefix_sum(x):
-    """Inclusive prefix sum via log-depth associative scan -- on TPU
-    jnp.cumsum lowers to a reduce-window that blows scoped VMEM for
-    wide integer windows; associative_scan lowers to shifts+adds."""
+    """Inclusive prefix sum. On TPU, integer scans run as exact
+    limb-decomposed MXU matmuls (see _mxu_cumsum_limbs); elsewhere (or
+    for odd sizes) a log-depth associative scan. jnp.cumsum lowers to
+    a reduce-window that blows scoped VMEM for wide integer windows."""
+    import os
+    if os.environ.get('SAUGNS_TPU_MXU_SCAN', '1') == '1' and \
+            _on_tpu() and x.ndim == 1 and x.shape[0] % 1024 == 0:
+        if x.dtype == u32:
+            return _mxu_cumsum_limbs(x, 32, 4, np.uint32)
+        if x.dtype == jnp.uint64:
+            return _mxu_cumsum_limbs(x, 64, 8, np.uint64)
     return jax.lax.associative_scan(jnp.add, x)
+
+
+def prefix_sum_rows(x):
+    """Row-wise inclusive integer prefix sum for (n, B); exact. One
+    batched MXU limb scan on TPU (intra-row matmuls over all n*R tile
+    rows at once, per-row offsets via one (n,R)@(R,R) matmul) --
+    batching same-level phasor scans this way collapses n scans' worth
+    of kernel launches into ~4."""
+    import os
+    n, B = x.shape
+    if os.environ.get('SAUGNS_TPU_MXU_SCAN', '1') == '1' and \
+            _on_tpu() and B % 1024 == 0 and \
+            x.dtype in (u32, jnp.uint64):
+        n_limbs = 4 if x.dtype == u32 else 8
+        dtype = np.uint32 if x.dtype == u32 else np.uint64
+        R = B // 128
+        xm = x.reshape(n * R, 128)
+        mask = dtype(255)
+
+        def split(v):
+            return [((v >> dtype(8 * i)) & mask).astype(f32)
+                    for i in range(n_limbs)]
+
+        def combine(parts):
+            acc = parts[0].astype(x.dtype)
+            for i in range(1, n_limbs):
+                acc = acc + (parts[i].astype(x.dtype) << dtype(8 * i))
+            return acc
+
+        U = jnp.triu(jnp.ones((128, 128), f32))
+        intra = combine([jnp.dot(l, U) for l in split(xm)])
+        rt = intra[:, 127].reshape(n, R)
+        Us = jnp.triu(jnp.ones((R, R), f32), 1)  # [r',r]=1 if r' < r
+        offs = combine([jnp.dot(l, Us) for l in split(rt)])
+        return (intra.reshape(n, R, 128)
+                + offs[:, :, None]).reshape(n, B)
+    return jax.lax.associative_scan(jnp.add, x, axis=1)
 
 
 def select_by(index, branches):
@@ -451,6 +531,29 @@ def _horner_diff(c1, c2, c3, x):
     return _two_prod(x, inner)
 
 
+def forward_fill_valid(s_raw, valid, prev_s, length):
+    """out[i] = s_raw at the last valid j <= i (prev_s if none yet).
+
+    Positions past ``length`` are masked downstream, so a block whose
+    in-range positions are all valid (pd != 0 -- the overwhelmingly
+    common case; pd == 0 needs a frozen phase, wosc.h:238) takes the
+    fast branch and skips the scan + gather entirely."""
+    B = s_raw.shape[0]
+    idx = jnp.arange(B, dtype=i32)
+
+    def slow(_):
+        s_ext = jnp.concatenate([jnp.reshape(prev_s, (1,)), s_raw])
+        last_valid = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(valid, idx + 1, 0))
+        return s_ext[last_valid]
+
+    import os
+    if os.environ.get('SAUGNS_TPU_FFILL_FAST', '1') != '1':
+        return slow(None)
+    all_ok = jnp.all(valid | (idx >= length))
+    return jax.lax.cond(all_ok, lambda _: s_raw, slow, None)
+
+
 def wosc_run_vec(pilut, wave, phase_buf, prev_phase, prev_s, reset,
                  length):
     """Vectorized sauWOsc_run. Returns (out, new_prev_phase,
@@ -464,10 +567,7 @@ def wosc_run_vec(pilut, wave, phase_buf, prev_phase, prev_s, reset,
                               phase_buf[:-1]])
     s_raw, valid = wosc_diff(pilut, wave, p_prev, phase_buf)
     # forward-fill invalid positions (phase_diff == 0) with previous s
-    s_ext = jnp.concatenate([jnp.asarray([prev_s], dtype=f32), s_raw])
-    last_valid = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(valid, idx + 1, 0))
-    out = s_ext[last_valid]
+    out = forward_fill_valid(s_raw, valid, prev_s, length)
     has = length > 0
     li = jnp.maximum(length - 1, 0)
     new_pp = jnp.where(has, phase_buf[li], prev_phase)
@@ -847,9 +947,13 @@ def gather_taps(cells, wave):
     bakes it per epoch). Uses the Pallas MXU one-hot kernel on TPU,
     plain indexing elsewhere."""
     assert isinstance(wave, int)
-    if _on_tpu() and cells.shape[0] % 2048 == 0:
+    if _on_tpu():
+        B = cells.shape[0]
+        pad = (-B) % 2048
+        cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
+            else cells
         mats = _build_tap_mats()
-        acc = _gather_taps_pallas(cells, mats[wave])
+        acc = _gather_taps_pallas(cp, mats[wave])[:B]
         return acc[:, 0:4] + acc[:, 4:8] + acc[:, 8:12]
     _, piluts = get_tables()
     pilut = piluts[wave]
@@ -887,20 +991,28 @@ def _coeffs_from_taps(taps):
     return c1, c2, c3
 
 
+def wosc_cells(phase_buf):
+    """Cell indices for a phase buffer (for batched tap gathers)."""
+    return (phase_buf >> SLENBITS).astype(i32)
+
+
 def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
-                  length):
+                  length, taps2=None):
     """Vectorized sauWOsc_run with plan-static wave: one MXU tap
     gather per block; the previous sample's taps are the shifted
     current taps. Same math as wosc_diff (compensated, cancellation-
-    free). Returns (out, new_prev_phase, new_prev_s)."""
+    free). ``taps2``: pre-gathered tap rows for wosc_cells(phase_buf)
+    (the engine batches same-level gathers into one kernel call).
+    Returns (out, new_prev_phase, new_prev_s)."""
     B = phase_buf.shape[0]
     idx = jnp.arange(B, dtype=i32)
     p0 = phase_buf[0] - np.uint32(W.SLEN)
     pp = jnp.where(reset, p0, prev_phase)
     p_prev = jnp.concatenate([jnp.reshape(pp, (1,)), phase_buf[:-1]])
     pd = asi32(phase_buf - p_prev)
-    cells2 = (phase_buf >> SLENBITS).astype(i32)
-    taps2 = gather_taps(cells2, wave)                    # (B, 4)
+    cells2 = wosc_cells(phase_buf)
+    if taps2 is None:
+        taps2 = gather_taps(cells2, wave)                # (B, 4)
     ptaps = taps_at(pp >> SLENBITS, wave)
     taps1 = jnp.concatenate([jnp.reshape(ptaps, (1, 4)),
                              taps2[:-1]], axis=0)
@@ -940,10 +1052,8 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
     sh, se = _two_sum(ph, diff_offset)
     s_raw = sh + (se + lo)
     # forward-fill pd == 0 positions
-    s_ext = jnp.concatenate([jnp.reshape(prev_s, (1,)), s_raw])
-    last_valid = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(valid, idx + 1, 0))
-    out = s_ext[last_valid]
+    s_raw = jnp.where(valid, s_raw, np.float32(0.0))
+    out = forward_fill_valid(s_raw, valid, prev_s, length)
     has = length > 0
     li = jnp.maximum(length - 1, 0)
     new_pp = jnp.where(has, phase_buf[li], prev_phase)
