@@ -79,19 +79,33 @@ def render_fm_bank(mesh: Mesh, freq, ratio, index, amp, pan, n_samples,
     n_t = mesh.shape['time'] if has_time else 1
     n_local = n_samples // n_t
 
+    # per-step time chunk: bounds the tap-gather working set
+    # ((chunk*V, 128) f32) regardless of total length
+    chunk = 8192
+    while n_local % chunk:
+        chunk //= 2
+
     def step(freq, ratio, index, amp, pan):
         vidx = jax.lax.axis_index('voices')
         tidx = jax.lax.axis_index('time') if has_time else 0
         coeff = np.float32(4294967296.0 / 96000.0)
         inc_c = jdsp.ftoi(coeff * freq).astype(u32)
         inc_m = jdsp.ftoi(coeff * freq * ratio).astype(u32)
-        # time-parallel phasor: phases at this chunk's start are the
+        # time-parallel phasor: phases at any chunk's start are the
         # increments times the global start sample (exact u32 wrap)
-        t0 = (tidx * n_local).astype(u32) if has_time else np.uint32(0)
-        phase_c0 = inc_c * t0
-        phase_m0 = inc_m * t0
-        mix, _, _ = _fm_voice_chunk(phase_c0, phase_m0, freq, ratio,
-                                    index, amp, pan, n_local, t0)
+        t_base = (tidx * n_local).astype(u32) if has_time \
+            else np.uint32(0)
+
+        def body(_, ci):
+            t0 = t_base + (ci * chunk).astype(u32)
+            mix, _, _ = _fm_voice_chunk(inc_c * t0, inc_m * t0, freq,
+                                        ratio, index, amp, pan,
+                                        chunk, t0)
+            return 0, mix
+
+        _, mixes = jax.lax.scan(
+            body, 0, jnp.arange(n_local // chunk, dtype=u32))
+        mix = mixes.reshape(n_local, 2)
         # reduce voices over ICI; time chunks stay sharded on axis 0
         mix = jax.lax.psum(mix, 'voices')
         return mix

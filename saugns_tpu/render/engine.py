@@ -114,10 +114,13 @@ def _i(x):
 
 # -- line state machine ------------------------------------------------------
 
-def line_run_vec(ls, B, length, mulbuf, static_type=None):
+def line_run_vec(ls, B, length, mulbuf, static_type=None, idx=None):
     """sauLine_run vectorized over one (op, slot) scalar state ``ls``
     (dict of scalars). ``static_type``: plan-baked fill shape (python
-    int) to prune the 13-way dispatch. Returns (out (B,), new_ls)."""
+    int) to prune the 13-way dispatch. Shape-polymorphic: with ``idx``
+    = (1, B), (n, 1)-shaped state scalars and (n, B) mulbuf, it runs n
+    independent lines at once (bit-identical per row). Returns
+    (out, new_ls)."""
     v0 = ls['v0']
     vt = ls['vt']
     pos = ls['pos']
@@ -129,11 +132,12 @@ def line_run_vec(ls, B, length, mulbuf, static_type=None):
     sratio = (flags & LF_SRATIO) != 0
     has_mul = mulbuf is not None
     if has_mul:
-        m0 = mulbuf[0]
+        m0 = mulbuf[..., 0:1] if mulbuf.ndim > 1 else mulbuf[0]
         v0 = jnp.where(goal & gratio & ~sratio, v0 / m0, v0)
         v0 = jnp.where(goal & ~gratio & sratio, v0 * m0, v0)
     sratio_g = jnp.where(goal, gratio, sratio)
-    idx = jnp.arange(B, dtype=i32)
+    if idx is None:
+        idx = jnp.arange(B, dtype=i32)
     remaining = jnp.maximum(end - pos, 0)
     lg = jnp.where(goal, jnp.minimum(remaining, length), 0)
     fillv = jdsp.line_fill(typ if static_type is None else static_type,
@@ -144,7 +148,7 @@ def line_run_vec(ls, B, length, mulbuf, static_type=None):
     pos_new = pos + adv
     reached = pos_new >= end
     v0_after = jnp.where(goal & reached, vt, v0)
-    sahv = jnp.full((B,), 1.0, f32) * v0_after
+    sahv = jnp.ones_like(fillv) * v0_after
     if has_mul:
         sahv = jnp.where(sratio_g, sahv * mulbuf, sahv)
     out = jnp.where(idx < lg, fillv, sahv)
@@ -503,6 +507,7 @@ def _analyze_schedule(stage_sig, inst_src):
         wp = []
         rc = []
         wrun_by_wave: Dict[int, list] = {}
+        line_by: Dict[tuple, list] = {}
         for si in sis:
             kind = stage_sig[si][0]
             if kind == K_WPHASE:
@@ -512,8 +517,17 @@ def _analyze_schedule(stage_sig, inst_src):
             elif kind == K_WRUN:
                 wrun_by_wave.setdefault(stage_sig[si][12],
                                         []).append(si)
+            elif kind == K_LINE:
+                line_by.setdefault(
+                    (stage_sig[si][14], stage_sig[si][3] >= 0),
+                    []).append(si)
             else:
                 rest.append(si)
+        for _key, group in sorted(line_by.items()):
+            if len(group) > 1:
+                plan.append(('line', group))
+            else:
+                rest = group + rest
         if len(wp) > 1:
             plan.append(('wphase', wp))
         else:
@@ -880,6 +894,37 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                         rcycle_finish(si_, stage_sig[si_], csums[k],
                                       ifs[k][0], ifs[k][1],
                                       lgs[k][0], lgs[k][1])
+                elif group[0] == 'line':
+                    sis = group[1]
+                    n_g = len(sis)
+                    lgs = [stage_lg(si_, stage_sig[si_])
+                           for si_ in sis]
+                    lss = [line_state(stage_sig[si_][1],
+                                      stage_sig[si_][6])
+                           for si_ in sis]
+                    bls = {k: jnp.stack([ls[k] for ls in lss])
+                           .reshape(n_g, 1) for k in lss[0]}
+                    lengths = jnp.stack(
+                        [lg[0] for lg in lgs]).reshape(n_g, 1)
+                    has_mul = stage_sig[sis[0]][3] >= 0
+                    muls = jnp.stack(
+                        [rdbuf(si_, stage_sig[si_][3])
+                         for si_ in sis]) if has_mul else None
+                    out, nls = line_run_vec(
+                        bls, B, lengths, muls,
+                        static_type=stage_sig[sis[0]][14],
+                        idx=jnp.arange(B, dtype=i32)[None, :])
+                    for k, si_ in enumerate(sis):
+                        s = stage_sig[si_]
+                        wrbuf(si_, s[2], out[k])
+                        put_line(s[1], s[6],
+                                 {key: nls[key][k, 0] for key in
+                                  ('v0', 'pos', 'flags', 'end')},
+                                 lgs[k][1])
+                        for slot in s[9]:
+                            nsk = line_skip_vec(
+                                line_state(s[1], slot), lgs[k][0])
+                            put_line(s[1], slot, nsk, lgs[k][1])
                 elif group[0] == 'wrun':
                     wave, sis = group[1], group[2]
                     lgs = [stage_lg(si_, stage_sig[si_])
