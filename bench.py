@@ -82,7 +82,7 @@ def main():
                                                   render_fm_bank,
                                                   sharded_args)
         mesh = make_mesh(len(jax.devices()))
-        n_samples = SRATE * 2
+        n_samples = SRATE * 32
         args, n_samples = sharded_args(mesh, 1024, n_samples)
         fn = jax.jit(lambda *a: render_fm_bank(mesh, *a,
                                                n_samples=n_samples))

@@ -71,10 +71,59 @@ class AlsaAudioDev:
         self.a.snd_pcm_close(self.pcm)
 
 
+class OssAudioDev:
+    """OSS playback via /dev/dsp ioctls (the reference's fallback
+    backend, player/audiodev/oss.c: SETFMT/CHANNELS/SPEED then plain
+    writes). OSS_AUDIODEV overrides the device path."""
+
+    # <sys/soundcard.h> public ABI
+    SNDCTL_DSP_SETFMT = 0xC0045005
+    SNDCTL_DSP_CHANNELS = 0xC0045006
+    SNDCTL_DSP_SPEED = 0xC0045002
+    AFMT_S16_LE = 0x10
+
+    def __init__(self, channels, srate):
+        import fcntl
+        import struct
+        path = os.environ.get('OSS_AUDIODEV', '/dev/dsp')
+        try:
+            self.fd = os.open(path, os.O_WRONLY)
+        except OSError as e:
+            raise OSError('OSS open failed: %s' % e)
+        try:
+            for req, val in ((self.SNDCTL_DSP_SETFMT, self.AFMT_S16_LE),
+                             (self.SNDCTL_DSP_CHANNELS, channels),
+                             (self.SNDCTL_DSP_SPEED, srate)):
+                buf = struct.pack('i', val)
+                res = fcntl.ioctl(self.fd, req, buf)
+                got = struct.unpack('i', res)[0]
+                if req != self.SNDCTL_DSP_SPEED and got != val:
+                    raise OSError('OSS param rejected')
+                if req == self.SNDCTL_DSP_SPEED:
+                    srate = got
+        except OSError:
+            os.close(self.fd)
+            raise
+        self.channels = channels
+        self.srate = srate
+
+    def write(self, buf, samples):
+        data = buf[:samples * self.channels].tobytes()
+        return os.write(self.fd, data) == len(data)
+
+    def close(self):
+        os.close(self.fd)
+
+
 def open_audiodev(channels, srate):
-    try:
-        return AlsaAudioDev(channels, srate)
-    except OSError:
-        print("warning: audiodev: system audio unavailable, "
-              "continuing muted", file=sys.stderr)
-        return NullAudioDev(srate)
+    """Open the best available backend: ALSA, then OSS (the
+    reference's runtime fallback order, player/audiodev/linux.c:29-46),
+    then a muted null device."""
+    for cls in (AlsaAudioDev, OssAudioDev):
+        try:
+            return cls(channels, srate)
+        except OSError:
+            pass
+    print("warning: audiodev: system audio unavailable, "
+          "continuing muted", file=sys.stderr)
+    return NullAudioDev(srate)

@@ -52,14 +52,14 @@ def _fm_voice_chunk(phase_c, phase_m, freq, ratio, index, amp, pan,
     inc_m = jdsp.ftoi(coeff * freq * ratio).astype(u32)
     i = jnp.arange(1, n_local + 1, dtype=u32)            # (T,)
     ph_m = phase_m[:, None] + inc_m[:, None] * i[None, :]
-    # modulator: plain PILUT sine via phase-pair differences
-    pm_prev = jnp.concatenate([phase_m[:, None], ph_m[:, :-1]], axis=1)
-    s_m = jdsp.wosc_pairs(0, pm_prev, ph_m)
+    # bulk path: sine phase-to-value directly on the VPU (a sine wave
+    # is its own bandlimited form; no table gather, no DPW needed --
+    # the scripted engine's PILUT machinery is for arbitrary tables)
+    two_pi_scale = np.float32(2.0 * np.pi / 4294967296.0)
+    s_m = jnp.sin(jdsp.asi32(ph_m).astype(f32) * two_pi_scale)
     ofs = jdsp.ftoi(s_m * index[:, None] * jdsp.P31).astype(u32)
     ph_c = phase_c[:, None] + inc_c[:, None] * i[None, :] + ofs
-    pc_prev = jnp.concatenate(
-        [phase_c[:, None] + ofs[:, :1], ph_c[:, :-1]], axis=1)
-    s_c = jdsp.wosc_pairs(0, pc_prev, ph_c)
+    s_c = jnp.sin(jdsp.asi32(ph_c).astype(f32) * two_pi_scale)
     s = s_c * amp[:, None]
     s_r = s * pan[:, None]
     mix = jnp.stack([(s - s_r).sum(0), (s + s_r).sum(0)], axis=-1)
