@@ -27,7 +27,7 @@ from ..dsp import prim
 from ..lang import program as P
 
 BLOCK = 1024       # default/minimum block length
-BLOCK_CAP = 1 << 15  # upper bound on per-epoch block length
+BLOCK_CAP = 1 << 16  # upper bound on per-epoch block length
 
 def _round_block(n):
     """Round a block length up to a TPU-friendly multiple of 1024,
