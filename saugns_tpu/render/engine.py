@@ -937,7 +937,7 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                     for k, si_ in enumerate(sis):
                         wrun_exec(si_, stage_sig[si_], lgs[k][0],
                                   lgs[k][1],
-                                  taps2=taps_all[k * B:(k + 1) * B])
+                                  taps2=taps_all[:, k * B:(k + 1) * B])
 
             # write back packed rows (only the last instance per op)
             if n_insts:

@@ -153,10 +153,14 @@ def _mxu_cumsum_limbs(x, nbits, n_limbs, dtype):
             acc = acc + (parts[i].astype(x.dtype) << dtype(8 * i))
         return acc
 
-    U = jnp.triu(jnp.ones((128, 128), f32))
+    # optimization_barrier: XLA's algebraic simplifier rewrites
+    # dot-with-triangular-ones back into a (slow) reduce-window scan
+    U = jax.lax.optimization_barrier(
+        jnp.triu(jnp.ones((128, 128), f32)))
     intra = combine([jnp.dot(l, U) for l in split(xm)])
     rt = intra[:, 127]
-    Lm = jnp.tril(jnp.ones((R, R), f32), -1)
+    Lm = jax.lax.optimization_barrier(
+        jnp.tril(jnp.ones((R, R), f32), -1))
     offs = combine([jnp.dot(Lm, l) for l in split(rt)])
     return (intra + offs[:, None]).reshape(B)
 
@@ -203,10 +207,12 @@ def prefix_sum_rows(x):
                 acc = acc + (parts[i].astype(x.dtype) << dtype(8 * i))
             return acc
 
-        U = jnp.triu(jnp.ones((128, 128), f32))
+        U = jax.lax.optimization_barrier(
+            jnp.triu(jnp.ones((128, 128), f32)))
         intra = combine([jnp.dot(l, U) for l in split(xm)])
         rt = intra[:, 127].reshape(n, R)
-        Us = jnp.triu(jnp.ones((R, R), f32), 1)  # [r',r]=1 if r' < r
+        Us = jax.lax.optimization_barrier(
+            jnp.triu(jnp.ones((R, R), f32), 1))  # [r',r]=1 if r' < r
         offs = combine([jnp.dot(l, Us) for l in split(rt)])
         return (intra.reshape(n, R, 128)
                 + offs[:, :, None]).reshape(n, B)
@@ -550,8 +556,32 @@ def forward_fill_valid(s_raw, valid, prev_s, length):
     import os
     if os.environ.get('SAUGNS_TPU_FFILL_FAST', '1') != '1':
         return slow(None)
-    all_ok = jnp.all(valid | (idx >= length))
-    return jax.lax.cond(all_ok, lambda _: s_raw, slow, None)
+    bad = (~valid) & (idx < length)
+    pair = bad & jnp.concatenate([bad[:1] & False, bad[:-1]])
+
+    def count(mask):
+        if _on_tpu() and B % 1024 == 0:
+            # jnp.any over a long vector lowers to a ~100us
+            # slice/reduce chain on v5e; an exact count via two MXU
+            # dots (0/1 values, sums < 2^24) is far cheaper
+            bm = mask.astype(f32).reshape(B // 128, 128)
+            return jnp.dot(jnp.dot(bm, jnp.ones((128,), f32)),
+                           jnp.ones((B // 128,), f32))
+        return jnp.any(mask).astype(f32)
+
+    def fill1(_):
+        # isolated invalid samples (the common case: PM sweeping the
+        # phase increment through zero for one sample): the previous
+        # sample is valid, so a one-step shift is the exact fill
+        shift_raw = jnp.concatenate([jnp.reshape(prev_s, (1,)),
+                                     s_raw[:-1]])
+        return jnp.where(valid, s_raw, shift_raw)
+
+    zero = np.float32(0.0)
+    return jax.lax.cond(
+        count(bad) == zero, lambda _: s_raw,
+        lambda _: jax.lax.cond(count(pair) == zero, fill1, slow, None),
+        None)
 
 
 def wosc_run_vec(pilut, wave, phase_buf, prev_phase, prev_s, reset,
@@ -916,10 +946,15 @@ def _gather_taps_pallas(cells, tapmat):
     TILE = 2048  # samples per kernel invocation
     grid = (B // TILE,)
     cells2 = cells.reshape(B // 256, 256)
-    # G[k*16+lo, k] = 1: sums each 16-wide lo-group into component k
-    g = np.zeros((256, 128), np.float32)
+    # Gt[k, k*16+lo] = 1: sums each 16-wide lo-group into component k.
+    # The second dot contracts on BOTH operands' minor axis so the
+    # output lands transposed (components x samples): tap components
+    # come out as rows, which downstream slices for free (column
+    # slices of a (B, 128) result cost ~100 us each as strided
+    # kLoop fusions on v5e).
+    g = np.zeros((128, 256), np.float32)
     for k in range(12):
-        g[k * 16:(k + 1) * 16, k] = 1.0
+        g[k, k * 16:(k + 1) * 16] = 1.0
     with jax.ensure_compile_time_eval():
         gmat = jnp.asarray(g)
 
@@ -935,8 +970,9 @@ def _gather_taps_pallas(cells, tapmat):
                   == hi[:, None]).astype(f32)
             cand = jnp.dot(oh, t_ref[:], preferred_element_type=f32)
             sel = (col16 == lo[:, None]).astype(f32)
-            out_ref[r * 256:(r + 1) * 256, :] = jnp.dot(
-                cand * sel, g_ref[:], preferred_element_type=f32)
+            out_ref[:, r * 256:(r + 1) * 256] = jax.lax.dot_general(
+                g_ref[:], cand * sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
 
     return pl.pallas_call(
         kernel,
@@ -947,13 +983,13 @@ def _gather_taps_pallas(cells, tapmat):
                   pl.BlockSpec((128, 256),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((256, 128),
+                  pl.BlockSpec((128, 256),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TILE, 128),
-                               lambda i: (i, np.int32(0)),
+        out_specs=pl.BlockSpec((128, TILE),
+                               lambda i: (np.int32(0), i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 128), f32),
+        out_shape=jax.ShapeDtypeStruct((128, B), f32),
     )(cells2, tapmat, gmat)
 
 
@@ -965,10 +1001,10 @@ def _on_tpu():
 
 
 def gather_taps(cells, wave):
-    """Hermite taps (s[-1], s0, s1, s2) for each cell index; exact
-    float32 table values. ``wave`` must be a python int (the planner
-    bakes it per epoch). Uses the Pallas MXU one-hot kernel on TPU,
-    plain indexing elsewhere."""
+    """Hermite taps for each cell index as rows: (4, B) with rows
+    (s[-1], s0, s1, s2); exact float32 table values. ``wave`` must be
+    a python int (the planner bakes it per epoch). Uses the Pallas
+    MXU two-level one-hot kernel on TPU, plain indexing elsewhere."""
     assert isinstance(wave, int)
     if _on_tpu():
         B = cells.shape[0]
@@ -976,11 +1012,11 @@ def gather_taps(cells, wave):
         cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
             else cells
         mats = _build_tap_mats()
-        acc = _gather_taps_pallas(cp, mats[wave])[:B]
-        return acc[:, 0:4] + acc[:, 4:8] + acc[:, 8:12]
+        acc = _gather_taps_pallas(cp, mats[wave])[:, :B]
+        return acc[0:4] + acc[4:8] + acc[8:12]
     _, piluts = get_tables()
     pilut = piluts[wave]
-    c = cells[:, None] + jnp.arange(-1, 3, dtype=i32)[None, :]
+    c = cells[None, :] + jnp.arange(-1, 3, dtype=i32)[:, None]
     return pilut[c & LENMASK]
 
 
@@ -998,12 +1034,12 @@ def taps_at(cell, wave: int):
 
 
 def _coeffs_from_taps(taps):
-    """c1, c2, c3 from tap rows (..., 4), difference form (exact in
-    f32 for smooth tables; see _hermite_coeffs)."""
-    s0 = taps[..., 0]
-    s1 = taps[..., 1]
-    s2 = taps[..., 2]
-    s3 = taps[..., 3]
+    """c1, c2, c3 from row-major taps (4, ...), difference form (exact
+    in f32 for smooth tables; see _hermite_coeffs)."""
+    s0 = taps[0]
+    s1 = taps[1]
+    s2 = taps[2]
+    s3 = taps[3]
     half = np.float32(0.5)
     d0 = s1 - s0
     d1 = s2 - s1
@@ -1035,10 +1071,10 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
     pd = asi32(phase_buf - p_prev)
     cells2 = wosc_cells(phase_buf)
     if taps2 is None:
-        taps2 = gather_taps(cells2, wave)                # (B, 4)
+        taps2 = gather_taps(cells2, wave)                # (4, B)
     ptaps = taps_at(pp >> SLENBITS, wave)
-    taps1 = jnp.concatenate([jnp.reshape(ptaps, (1, 4)),
-                             taps2[:-1]], axis=0)
+    taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
+                             taps2[:, :-1]], axis=1)
     x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     x2 = (phase_buf & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     c1a, c2a, c3a = _coeffs_from_taps(taps1)
@@ -1062,7 +1098,7 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
     head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
     tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
     th, tl = _two_prod(one - x1, tailb)
-    mh, ml = _two_sum(taps2[:, 1], -taps1[:, 2])
+    mh, ml = _two_sum(taps2[1], -taps1[2])
     dh, de = _two_sum(head_h, th)
     dh, de2 = _two_sum(dh, mh)
     d_lo = de + de2 + head_l + tl + ml
@@ -1099,8 +1135,8 @@ def wosc_pairs(wave: int, p_prev, p_cur):
     cells1 = (pp >> SLENBITS).astype(i32)
     cells2 = (pc >> SLENBITS).astype(i32)
     taps = gather_taps(jnp.concatenate([cells1, cells2]), wave)
-    taps1 = taps[:cells1.shape[0]]
-    taps2 = taps[cells1.shape[0]:]
+    taps1 = taps[:, :cells1.shape[0]]
+    taps2 = taps[:, cells1.shape[0]:]
     s = _diff_from_taps(wave, pp, pc, taps1, taps2)
     if pad:
         s = s[:n]
@@ -1132,7 +1168,7 @@ def _diff_from_taps(wave: int, p_prev, p_cur, taps1, taps2):
     head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
     tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
     th, tl = _two_prod(one - x1, tailb)
-    mh, ml = _two_sum(taps2[..., 1], -taps1[..., 2])
+    mh, ml = _two_sum(taps2[1], -taps1[2])
     dh, de = _two_sum(head_h, th)
     dh, de2 = _two_sum(dh, mh)
     d_lo = de + de2 + head_l + tl + ml

@@ -83,3 +83,43 @@ def test_entry_compiles():
     st, outs = jax.jit(fn)(*args)
     jax.block_until_ready(outs)
     assert outs.shape[-1] == 2
+
+
+def test_forward_fill_tiers():
+    """forward_fill_valid: all-valid fast path, isolated-invalid
+    one-shift path, and the full-scan path (consecutive invalids)
+    agree with a scalar reference."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from saugns_tpu.render import jdsp
+
+    rng = np.random.RandomState(7)
+    B = 2048
+    s = rng.randn(B).astype(np.float32)
+    prev = np.float32(3.25)
+    length = B - 100
+
+    def ref_fill(valid):
+        out = np.empty(B, np.float32)
+        last = prev
+        for i in range(B):
+            if valid[i]:
+                last = s[i]
+            out[i] = last
+        return out
+
+    cases = {
+        'all-valid': np.ones(B, bool),
+        'isolated': np.ones(B, bool),
+        'runs': np.ones(B, bool),
+    }
+    cases['isolated'][[0, 5, 999, length - 1]] = False
+    cases['runs'][10:20] = False
+    cases['runs'][700:703] = False
+    fn = jax.jit(lambda sr, v: jdsp.forward_fill_valid(
+        sr, v, prev, length))
+    for name, valid in cases.items():
+        got = np.asarray(fn(jnp.asarray(s), jnp.asarray(valid)))
+        ref = ref_fill(valid)
+        assert np.array_equal(got[:length], ref[:length]), name
