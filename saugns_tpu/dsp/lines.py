@@ -74,12 +74,27 @@ def val_cos(x, a, b):
     return a + (b - a) * (sinramp(x - f32(0.5)) + f32(0.5))
 
 
+def _expramp6_ref(t):
+    """expramp6 with the reference build's rounding order (gcc -O3
+    -ffast-math reassociates sau/line.h:195-200 into
+    t3 + t2*((t3 - 1)*(t2*B + t*A)); verified against the compiled
+    sauLine_fill_xpe/map_xpe loops)."""
+    t = np.asarray(t, np.float32)
+    A = f32(629.0 / 1792.0)
+    B = f32(1163.0 / 1792.0)
+    t2 = t * t
+    tA = t * A
+    t3 = t2 * t
+    p = t2 * B + tA
+    return t3 + t2 * ((t3 + f32(-1.0)) * p)
+
+
 def val_exp(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    up = a + (b - a) * expramp6(x)
-    down = b + (a - b) * expramp6(f32(1.0) - x)
+    up = a + (b - a) * _expramp6_ref(x)
+    down = b + (a - b) * _expramp6_ref(f32(1.0) - x)
     return np.where(a > b, down, up)
 
 
@@ -87,8 +102,8 @@ def val_log(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    down = b + (a - b) * expramp6(f32(1.0) - x)
-    up = a + (b - a) * expramp6(x)
+    down = b + (a - b) * _expramp6_ref(f32(1.0) - x)
+    up = a + (b - a) * _expramp6_ref(x)
     return np.where(a < b, down, up)
 
 
@@ -96,14 +111,14 @@ def val_xpe(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    return b + (a - b) * expramp6(f32(1.0) - x)
+    return b + (a - b) * _expramp6_ref(f32(1.0) - x)
 
 
 def val_lge(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    return a + (b - a) * expramp6(x)
+    return a + (b - a) * _expramp6_ref(x)
 
 
 def val_sqe(x, a, b):
@@ -113,19 +128,27 @@ def val_sqe(x, a, b):
     return b + (a - b) * (x * x)
 
 
-def val_cub(x, a, b):
-    x = (f32(0.5) - _x_f32(x)) * f32(2)
+def val_cub(x, a, b, tail=False):
+    """map_cub body form: b + (x1^3 + 1)*k with k = (a-b)*0.5; gcc's
+    scalar/2-wide epilogues (``tail``) group as b + (x1^3*k + k)."""
+    x1 = f32(0.5) - _x_f32(x)
+    x1 = x1 + x1
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    return b + (a - b) * (x * x * x * f32(0.5) + f32(0.5))
+    k = (a - b) * f32(0.5)
+    x3 = (x1 * x1) * x1
+    if tail:
+        return b + (x3 * k + k)
+    return b + (x3 + f32(1.0)) * k
 
 
 def val_smo(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    return a + (b - a) * x * x * x * (f32(10.0) + x * (f32(-15.0)
-                                                       + x * f32(6.0)))
+    d = b - a
+    x3d = ((d * x) * (x * x))
+    return a + x3d * ((x * f32(6.0) + f32(-15.0)) * x + f32(10.0))
 
 
 def _seed_from_x(x):
@@ -146,19 +169,20 @@ def val_ncl(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    xb = x - (f32(3.0) - (x + x)) * x * x
+    q = (x + x + f32(-3.0)) * x + f32(1.0)
     s = np_ranfast32(_seed_from_x(x)).view(np.int32)
-    return a + (b - a) * (x + xb * s.astype(np.float32)
-                          * f32(0.5 * (0.5 ** 31)))
+    return a + ((x + (s.astype(np.float32) * q) * (x * f32(0.5 * 0.5 ** 31)))
+                * (b - a))
 
 
 def val_nhl(x, a, b):
     x = _x_f32(x)
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    xb = x - x * x
+    q = f32(1.0) - x
     s = np_ranfast32(_seed_from_x(x)).view(np.int32)
-    return a + (b - a) * (x + xb * s.astype(np.float32) * f32(0.5 ** 31))
+    return a + ((x + (q * s.astype(np.float32)) * (x * f32(0.5 ** 31)))
+                * (b - a))
 
 
 VAL_FUNCS = (val_cos, val_lin, val_sah, val_exp, val_log, val_xpe, val_lge,
@@ -169,6 +193,15 @@ VAL_FUNCS = (val_cos, val_lin, val_sah, val_exp, val_log, val_xpe, val_lge,
 # fill(len, v0, vt, pos, time, mulbuf) -> float32[len]
 # Mirrors sau/line.c fill semantics, incl. the specialized midpoint forms
 # (lin/cos/sqe/cub/ncl/nhl use adj_pos = pos - time/2; sau/line.c:80-212).
+#
+# Rounding orders replicate what gcc -O3 -ffast-math actually emits for
+# the reference build (verified instruction-by-instruction against the
+# compiled sauLine_fill_* loops): loop-invariant factors are hoisted
+# (lin: vd*inv_time; cub: (v0-vt)*0.5) and polynomial multiplies are
+# reassociated (cos/smo fold vd into the x factor; xpe/lge evaluate
+# expramp6 as x3 + x2*((x3-1)*(x*A + x2*B))).  Sweep values feed phasor
+# integrators, so every rounding here must match the reference binary
+# bit-for-bit or FM scripts drift audibly.
 
 def _mul(v, mulbuf):
     return v * mulbuf.astype(np.float32) if mulbuf is not None else v
@@ -180,38 +213,66 @@ def fill_sah(length, v0, vt, pos, time, mulbuf):
 
 
 def fill_lin(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     vm = (f32(v0) + f32(vt)) * f32(0.5)
-    vd = f32(vt) - f32(v0)
+    k = (f32(vt) - f32(v0)) * inv_time   # hoisted: vd*inv, one rounding
     i = np.arange(length, dtype=np.int32)
-    x = (i + adj_pos).astype(np.float32) * inv_time
-    return _mul(vm + vd * x, mulbuf)
+    xi = (i + adj_pos).astype(np.float32)
+    return _mul(vm + xi * k, mulbuf)
 
 
 def fill_cos(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     vm = (f32(v0) + f32(vt)) * f32(0.5)
     vd = f32(vt) - f32(v0)
+    s0 = f32(1.5702137061703461473139223358864)
+    s1 = f32(-2.568278787380814155456160152724)
+    s2 = f32(1.1496958507977182668618673644367)
     i = np.arange(length, dtype=np.int32)
     x = (i + adj_pos).astype(np.float32) * inv_time
-    return _mul(vm + vd * sinramp(x), mulbuf)
+    x2 = x * x
+    xv = x * vd                          # vd folded into the x factor
+    return _mul(vm + xv * (s0 + x2 * (s1 + x2 * s2)), mulbuf)
 
 
-def _fill_generic(val_f):
-    def fill(length, v0, vt, pos, time, mulbuf):
-        inv_time = f32(1.0) / f32(time)
-        i = np.arange(length, dtype=np.uint32)
-        x = (i + np.uint32(pos)).astype(np.float32) * inv_time
-        v = val_f(x, f32(v0), f32(vt))
-        return _mul(np.asarray(v, np.float32), mulbuf)
-    return fill
+def _expramp6_ref(t):
+    """expramp6 with the reference build's rounding order:
+    t3 + t2*((t3 - 1)*(t2*B + t*A))."""
+    A = f32(629.0 / 1792.0)
+    B = f32(1163.0 / 1792.0)
+    t2 = t * t
+    tA = t * A
+    t3 = t2 * t
+    p = t2 * B + tA
+    return t3 + t2 * ((t3 + f32(-1.0)) * p)
 
 
-fill_xpe = _fill_generic(val_xpe)
-fill_lge = _fill_generic(val_lge)
-fill_smo = _fill_generic(val_smo)
+def fill_xpe(length, v0, vt, pos, time, mulbuf):
+    inv_time = f32(1.0) / f32(time)
+    i = np.arange(length, dtype=np.uint32)
+    x = (i + np.uint32(pos)).astype(np.float32) * inv_time
+    t = f32(1.0) - x
+    return _mul(f32(vt) + (f32(v0) - f32(vt)) * _expramp6_ref(t), mulbuf)
+
+
+def fill_lge(length, v0, vt, pos, time, mulbuf):
+    inv_time = f32(1.0) / f32(time)
+    i = np.arange(length, dtype=np.uint32)
+    x = (i + np.uint32(pos)).astype(np.float32) * inv_time
+    return _mul(f32(v0) + (f32(vt) - f32(v0)) * _expramp6_ref(x), mulbuf)
+
+
+def fill_smo(length, v0, vt, pos, time, mulbuf):
+    inv_time = f32(1.0) / f32(time)
+    vd = f32(vt) - f32(v0)
+    i = np.arange(length, dtype=np.uint32)
+    x = (i + np.uint32(pos)).astype(np.float32) * inv_time
+    xd = x * vd
+    x3d = (x * x) * xd
+    poly = (x * f32(6.0) + f32(-15.0)) * x + f32(10.0)
+    return _mul(f32(v0) + x3d * poly, mulbuf)
 
 
 def fill_exp(length, v0, vt, pos, time, mulbuf):
@@ -225,7 +286,7 @@ def fill_log(length, v0, vt, pos, time, mulbuf):
 
 
 def fill_sqe(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     i = np.arange(length, dtype=np.int32)
     x = f32(0.5) - (i + adj_pos).astype(np.float32) * inv_time
@@ -233,13 +294,19 @@ def fill_sqe(length, v0, vt, pos, time, mulbuf):
 
 
 def fill_cub(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     scale = f32(-2) * inv_time
+    k = (f32(v0) - f32(vt)) * f32(0.5)   # hoisted: (x3+1)*k form
     i = np.arange(length, dtype=np.int32)
     x = (i + adj_pos).astype(np.float32) * scale
-    return _mul(f32(vt) + (f32(v0) - f32(vt))
-                * (x * x * x * f32(0.5) + f32(0.5)), mulbuf)
+    x3 = (x * x) * x
+    v = f32(vt) + (x3 + f32(1.0)) * k
+    if length & 1:
+        # gcc's scalar epilogue (the final element of odd lengths)
+        # groups as x3*k + k instead of (x3+1)*k
+        v[-1] = f32(vt) + (x3[-1] * k + k)
+    return _mul(v, mulbuf)
 
 
 def fill_uwh(length, v0, vt, pos, time, mulbuf):
@@ -252,31 +319,33 @@ def fill_uwh(length, v0, vt, pos, time, mulbuf):
 
 
 def fill_ncl(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     scale = f32(0.5 / INT32_MAX)
     vm = (f32(v0) + f32(vt)) * f32(0.5)
     vd = f32(vt) - f32(v0)
     i = np.arange(length, dtype=np.int32)
     x = (i + adj_pos).astype(np.float32) * inv_time
-    xb = x + f32(0.5)
-    xb = xb - (f32(3.0) - (xb + xb)) * xb * xb
+    xb0 = x + f32(0.5)
+    q = (xb0 + xb0 + f32(-3.0)) * xb0 + f32(1.0)
     s = np_ranfast32(np.uint32(pos) + i.astype(np.uint32)).view(np.int32)
-    return _mul(vm + vd * (x + xb * s.astype(np.float32) * scale), mulbuf)
+    return _mul(vm + ((x + (s.astype(np.float32) * q) * (xb0 * scale))
+                      * vd), mulbuf)
 
 
 def fill_nhl(length, v0, vt, pos, time, mulbuf):
-    adj_pos = np.int32(np.uint32(pos) - np.uint32(time // 2))
+    adj_pos = np.uint32((int(pos) - int(time) // 2) & 0xffffffff).astype(np.int32)
     inv_time = f32(1.0) / f32(time)
     scale = f32(2 * 0.5 / INT32_MAX)
     vm = (f32(v0) + f32(vt)) * f32(0.5)
     vd = f32(vt) - f32(v0)
     i = np.arange(length, dtype=np.int32)
     x = (i + adj_pos).astype(np.float32) * inv_time
-    xb = x + f32(0.5)
-    xb = xb - xb * xb
+    xb0 = x + f32(0.5)
     s = np_ranfast32(np.uint32(pos) + i.astype(np.uint32)).view(np.int32)
-    return _mul(vm + vd * (x + xb * s.astype(np.float32) * scale), mulbuf)
+    q = f32(1.0) - xb0
+    return _mul(vm + ((x + (q * s.astype(np.float32)) * (xb0 * scale))
+                      * vd), mulbuf)
 
 
 FILL_FUNCS = (fill_cos, fill_lin, fill_sah, fill_exp, fill_log, fill_xpe,
@@ -285,6 +354,23 @@ FILL_FUNCS = (fill_cos, fill_lin, fill_sah, fill_exp, fill_log, fill_xpe,
 
 
 def line_map(line_type, xbuf, end0, end1):
-    """Map x positions through a line shape (sau/line.c:16-24)."""
-    return np.asarray(VAL_FUNCS[line_type](xbuf, end0, end1),
-                      dtype=np.float32)
+    """Map x positions through a line shape (sau/line.c:16-24).
+
+    Rounding orders mirror the reference build's vectorized loops; for
+    'cub' gcc's 2-wide/scalar epilogues use a differently-grouped form,
+    so the trailing len&3 elements take val_cub(tail=True)."""
+    v = np.asarray(VAL_FUNCS[line_type](xbuf, end0, end1),
+                   dtype=np.float32)
+    if line_type == N_cub:
+        n = len(np.atleast_1d(v))
+        n4 = n & ~3
+        if n4 < n or n < 4:
+            lo = n4 if n >= 4 else 0
+            xt = np.atleast_1d(np.asarray(xbuf, np.float32))[lo:]
+            at = np.atleast_1d(np.asarray(end0, np.float32))[lo:] \
+                if np.ndim(end0) else np.asarray(end0, np.float32)
+            bt = np.atleast_1d(np.asarray(end1, np.float32))[lo:] \
+                if np.ndim(end1) else np.asarray(end1, np.float32)
+            v = np.atleast_1d(v)
+            v[lo:] = val_cub(xt, at, bt, tail=True)
+    return v

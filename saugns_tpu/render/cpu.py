@@ -47,18 +47,25 @@ def ftoi_f32(x):
 
 def herp(lut, phase_u32):
     """Hermite 4-point LUT interpolation (sau/wave.h:127-141).
-    Returns float64 array."""
+    Returns float64 array.  The coefficient subtractions (s2-s0),
+    (s3-s0), (s1-s2) round in float32 exactly like the C, where the
+    float operands are subtracted before the double constant
+    multiplies widen the result -- bit-parity with the reference
+    binary depends on it (FM chains integrate the derived sample)."""
     ind = (phase_u32 >> np.uint32(W.SLENBITS)).astype(np.int64)
-    s0 = lut[(ind - 1) & W.LENMASK].astype(np.float64)
-    s1 = lut[ind & W.LENMASK].astype(np.float64)
-    s2 = lut[(ind + 1) & W.LENMASK].astype(np.float64)
-    s3 = lut[(ind + 2) & W.LENMASK].astype(np.float64)
+    s0 = lut[(ind - 1) & W.LENMASK]
+    s1 = lut[ind & W.LENMASK]
+    s2 = lut[(ind + 1) & W.LENMASK]
+    s3 = lut[(ind + 2) & W.LENMASK]
     x = (phase_u32 & np.uint32(W.SLENMASK)).astype(np.float64) \
         * np.float64(f32(1.0 / W.SLEN))
-    c0 = s1
-    c1 = 0.5 * (s2 - s0)
-    c2 = s0 - 2.5 * s1 + 2 * s2 - 0.5 * s3
-    c3 = 0.5 * (s3 - s0) + 1.5 * (s1 - s2)
+    c0 = s1.astype(np.float64)
+    c1 = 0.5 * (s2 - s0).astype(np.float64)
+    c2 = (s0.astype(np.float64) - 2.5 * s1.astype(np.float64)
+          + (f32(2.0) * s2).astype(np.float64)
+          - 0.5 * s3.astype(np.float64))
+    c3 = (0.5 * (s3 - s0).astype(np.float64)
+          + 1.5 * (s1 - s2).astype(np.float64))
     return ((c3 * x + c2) * x + c1) * x + c0
 
 

@@ -20,6 +20,19 @@ import numpy as np
 
 import os
 
+# Bit-parity with the reference binary (gcc, baseline x86-64: SSE2, no
+# FMA) requires XLA:CPU not to contract mul+add chains into FMAs -- the
+# contraction changes one rounding, and FM chains integrate the result
+# into audible phase drift.  No XLA pass/flag disables contraction
+# directly (LLVM emits it from `contract`-flagged IR inside fusions;
+# optimization_barrier/bitcast/select tricks all get folded), but
+# capping the ISA below FMA removes it wholesale.  TPU compilation is
+# unaffected.  Opt out with SAUGNS_TPU_CPU_FMA=1 (faster, non-parity).
+if 'xla_cpu_max_isa' not in os.environ.get('XLA_FLAGS', '') \
+        and os.environ.get('SAUGNS_TPU_CPU_FMA') != '1':
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                               + ' --xla_cpu_max_isa=AVX').strip()
+
 import jax
 
 # exact u32/u64 phase arithmetic requires 64-bit integer support
@@ -955,6 +968,11 @@ def build_epoch_fn(sig, n_stages, n_insts, n_bufs, B, amp_scale,
                 dec = jnp.where(vgate[v], vlen[v], 0)
                 st['vdur'] = st['vdur'].at[v].set(st['vdur'][v] - dec)
             out = jnp.stack([mixl, mixr], axis=-1)
+            import os as _os
+            if _os.environ.get('SAUGNS_TPU_DEBUG_BUFS'):
+                # differential-debug aid: emit every SSA buffer value
+                # (keyed by its versioned (stage, slot) id) per block
+                return st, (out, {str(k): v for k, v in vals.items()})
             return st, out
 
         blks = (blk_len, blk_rlo, blk_rhi, blk_stage_op, blk_inst_op)

@@ -252,10 +252,18 @@ def sinramp(x):
 
 
 def expramp6(x):
+    """expramp6 with the reference *build's* rounding order: gcc -O3
+    -ffast-math reassociates sau/line.h:195-200 into
+    t3 + t2*((t3 - 1)*(t2*B + t*A)) (decoded from the compiled
+    sauLine_fill_xpe loop; line values feed phasor integrators, so the
+    rounding must match the binary, not the source)."""
+    A = np.float32(629.0 / 1792.0)
+    B = np.float32(1163.0 / 1792.0)
     x2 = x * x
+    xA = x * A
     x3 = x2 * x
-    return x3 + (x2 * x3 - x2) * (x * np.float32(629.0 / 1792.0)
-                                  + x2 * np.float32(1163.0 / 1792.0))
+    p = x2 * B + xA
+    return x3 + x2 * ((x3 + np.float32(-1.0)) * p)
 
 
 def _seed_bits(x):
@@ -298,26 +306,33 @@ def line_val(line_type, x, a, b):
         return b + (a - b) * (x1 * x1)
 
     def v_cub(x, a, b):
-        x1 = (half - x) * np.float32(2)
-        return b + (a - b) * (x1 * x1 * x1 * half + half)
+        # reference-build grouping: b + (x1^3 + 1)*((a-b)*0.5)
+        x1 = half - x
+        x1 = x1 + x1
+        k = (a - b) * half
+        return b + ((x1 * x1) * x1 + one) * k
 
     def v_smo(x, a, b):
-        return a + (b - a) * x * x * x * (np.float32(10.0) + x * (
-            np.float32(-15.0) + x * np.float32(6.0)))
+        # reference-build grouping: a + ((d*x)*(x*x))*((6x-15)x+10)
+        d = b - a
+        x3d = (d * x) * (x * x)
+        return a + x3d * ((x * np.float32(6.0) + np.float32(-15.0)) * x
+                          + np.float32(10.0))
 
     def v_uwh(x, a, b):
         s = asi32(ranfast32(_seed_bits(x))).astype(f32)
         return a + (b - a) * (half + np.float32(0.5 * 2.0 ** -31) * s)
 
     def v_ncl(x, a, b):
-        xb = x - (np.float32(3.0) - (x + x)) * x * x
+        q = (x + x + np.float32(-3.0)) * x + one
         s = asi32(ranfast32(_seed_bits(x))).astype(f32)
-        return a + (b - a) * (x + xb * s * np.float32(0.5 * 2.0 ** -31))
+        return a + ((x + (s * q) * (x * np.float32(0.5 * 2.0 ** -31)))
+                    * (b - a))
 
     def v_nhl(x, a, b):
-        xb = x - x * x
+        q = one - x
         s = asi32(ranfast32(_seed_bits(x))).astype(f32)
-        return a + (b - a) * (x + xb * s * SCALE31)
+        return a + ((x + (q * s) * (x * SCALE31)) * (b - a))
 
     fns = [v_cos, v_lin, v_sah, v_exp, v_log, v_xpe, v_lge, v_sqe,
            v_cub, v_smo, v_ncl, v_nhl, v_uwh]
@@ -338,11 +353,20 @@ def line_fill(line_type, i_pos, end, v0, vt):
     vd = vt - v0
     half = np.float32(0.5)
 
+    # rounding orders replicate the reference build's vectorized loops
+    # (see dsp/lines.py): hoisted vd*inv_time for lin, vd folded into
+    # the x factor for cos/smo, (x3+1)*k for cub
     def f_cos(_):
-        return vm + vd * sinramp(x_mid)
+        s0 = np.float32(1.5702137061703461473139223358864)
+        s1 = np.float32(-2.568278787380814155456160152724)
+        s2 = np.float32(1.1496958507977182668618673644367)
+        x2 = x_mid * x_mid
+        xv = x_mid * vd
+        return vm + xv * (s0 + x2 * (s1 + x2 * s2))
 
     def f_lin(_):
-        return vm + vd * x_mid
+        k = vd * inv_time
+        return vm + asi32(adj).astype(f32) * k
 
     def f_sah(_):
         return jnp.full(i_pos.shape, v0, dtype=f32)
@@ -365,13 +389,16 @@ def line_fill(line_type, i_pos, end, v0, vt):
 
     def f_cub(_):
         scale = np.float32(-2) * inv_time
+        k = (v0 - vt) * half
         x = asi32(adj).astype(f32) * scale
-        return vt + (v0 - vt) * (x * x * x * half + half)
+        return vt + ((x * x) * x + np.float32(1.0)) * k
 
     def f_smo(_):
         x = x_pln
-        return v0 + (vt - v0) * x * x * x * (np.float32(10.0) + x * (
-            np.float32(-15.0) + x * np.float32(6.0)))
+        xd = x * vd
+        x3d = (x * x) * xd
+        return v0 + x3d * ((x * np.float32(6.0) + np.float32(-15.0)) * x
+                           + np.float32(10.0))
 
     def f_uwh(_):
         s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
@@ -379,17 +406,19 @@ def line_fill(line_type, i_pos, end, v0, vt):
 
     def f_ncl(_):
         x = x_mid
-        xb = x + half
-        xb = xb - (np.float32(3.0) - (xb + xb)) * xb * xb
+        xb0 = x + half
+        q = (xb0 + xb0 + np.float32(-3.0)) * xb0 + np.float32(1.0)
         s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
-        return vm + vd * (x + xb * s * np.float32(0.5 / 0x7fffffff))
+        return vm + ((x + (s * q) * (xb0 * np.float32(0.5 / 0x7fffffff)))
+                     * vd)
 
     def f_nhl(_):
         x = x_mid
-        xb = x + half
-        xb = xb - xb * xb
+        xb0 = x + half
+        q = np.float32(1.0) - xb0
         s = asi32(ranfast32(i_pos.astype(u32))).astype(f32)
-        return vm + vd * (x + xb * s * np.float32(2 * 0.5 / 0x7fffffff))
+        return vm + ((x + (q * s) * (xb0 * np.float32(2 * 0.5 / 0x7fffffff)))
+                     * vd)
 
     fns = [f_cos, f_lin, f_sah, f_exp, f_log, f_xpe, f_lge, f_sqe,
            f_cub, f_smo, f_ncl, f_nhl, f_uwh]
@@ -476,15 +505,69 @@ def _two_prod(a, b):
     return p, e
 
 
+def _herp64_taps(s0, s1, s2, s3, x_f32):
+    """Hermite interpolation exactly as sauWave_get_herp
+    (sau/wave.h:127-141) evaluates it: coefficient subtractions
+    (s2-s0), (s3-s0), (s1-s2) round in float32 (C subtracts the float
+    operands before the double constant multiplies), everything else
+    rounds in float64 per op, left-associative.  Bit-for-bit equal to
+    the C on IEEE-double platforms (verified against gcc -O3 output);
+    on TPU, XLA's float64 emulation keeps it within a few 2^-48."""
+    f64 = jnp.float64
+    x = x_f32.astype(f64)
+    c0 = s1.astype(f64)
+    c1 = np.float64(0.5) * (s2 - s0).astype(f64)
+    c2 = (s0.astype(f64) - np.float64(2.5) * s1.astype(f64)
+          + (np.float32(2.0) * s2).astype(f64)
+          - np.float64(0.5) * s3.astype(f64))
+    c3 = (np.float64(0.5) * (s3 - s0).astype(f64)
+          + np.float64(1.5) * (s1 - s2).astype(f64))
+    return ((c3 * x + c2) * x + c1) * x + c0
+
+
+def _wosc_s64(wave, pd, x1, x2, taps1, taps2):
+    """The PILUT-differentiation sample exactly as wosc.h:247-261
+    computes it: float64 Is values, float32-rounded diff_scale/pd
+    factor widened to float64, one final float32 rounding.  Bit-exact
+    vs the reference binary where float64 is IEEE (JAX CPU); FM chains
+    integrate this value, so anything less than bit-parity accumulates
+    audible phase drift against the reference (misc1-4fm_pm.sau)."""
+    diff_scale = np.float32(W.dvscale(wave))
+    diff_offset = np.float64(np.float32(W.dvoffset(wave)))
+    valid = pd != 0
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    xf = (diff_scale / pdf).astype(jnp.float64)
+    Is1 = _herp64_taps(taps1[0], taps1[1], taps1[2], taps1[3], x1)
+    Is2 = _herp64_taps(taps2[0], taps2[1], taps2[2], taps2[3], x2)
+    s = ((Is2 - Is1) * xf + diff_offset).astype(f32)
+    return jnp.where(valid, s, np.float32(0.0)), valid
+
+
 def wosc_diff(pilut, wave, p1_u32, p2_u32):
     """Anti-aliased oscillator output for the phase step p1 -> p2:
     s = DVSCALE(wave) * (Is(p2)-Is(p1)) / (p2-p1) + DVOFFSET(wave),
-    computed cancellation-free (see module docstring), with
-    compensated (double-float) accumulation so the result rounds to
-    the same float32 as the reference's float64 evaluation on
-    (essentially) every sample -- FM chains integrate this value, so
-    consistent sub-ulp bias would otherwise accumulate phase drift.
-    Returns (s, valid) where valid == False iff p2 == p1."""
+    evaluated with the reference's exact float64 rounding chain
+    (wosc.h:238-266) so FM chains that integrate the value do not
+    drift.  Returns (s, valid) where valid == False iff p2 == p1."""
+    i1 = (p1_u32 >> SLENBITS).astype(i32)
+    i2 = (p2_u32 >> SLENBITS).astype(i32)
+    x1 = (p1_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    x2 = (p2_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    pd = asi32(p2_u32 - p1_u32)
+    taps1 = jnp.stack([pilut[(i1 - 1) & LENMASK], pilut[i1 & LENMASK],
+                       pilut[(i1 + 1) & LENMASK],
+                       pilut[(i1 + 2) & LENMASK]])
+    taps2 = jnp.stack([pilut[(i2 - 1) & LENMASK], pilut[i2 & LENMASK],
+                       pilut[(i2 + 1) & LENMASK],
+                       pilut[(i2 + 2) & LENMASK]])
+    return _wosc_s64(wave, pd, x1, x2, taps1, taps2)
+
+
+def _wosc_diff_compensated(pilut, wave, p1_u32, p2_u32):
+    """Former float32 compensated formulation (cancellation-free,
+    ~1 ulp of the float64 chain); kept for reference/fallback -- it is
+    faster on TPU but its per-sample rounding differs from the C chain
+    often enough that FM integration drifts audibly."""
     pd = asi32(p2_u32 - p1_u32)
     i1 = (p1_u32 >> SLENBITS).astype(i32)
     i2 = (p2_u32 >> SLENBITS).astype(i32)
@@ -1059,10 +1142,10 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
                   length, taps2=None):
     """Vectorized sauWOsc_run with plan-static wave: one MXU tap
     gather per block; the previous sample's taps are the shifted
-    current taps. Same math as wosc_diff (compensated, cancellation-
-    free). ``taps2``: pre-gathered tap rows for wosc_cells(phase_buf)
-    (the engine batches same-level gathers into one kernel call).
-    Returns (out, new_prev_phase, new_prev_s)."""
+    current taps. Sample math is the reference-exact float64 chain
+    (_wosc_s64). ``taps2``: pre-gathered tap rows for
+    wosc_cells(phase_buf) (the engine batches same-level gathers into
+    one kernel call). Returns (out, new_prev_phase, new_prev_s)."""
     B = phase_buf.shape[0]
     idx = jnp.arange(B, dtype=i32)
     p0 = phase_buf[0] - np.uint32(W.SLEN)
@@ -1077,41 +1160,7 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
                              taps2[:, :-1]], axis=1)
     x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     x2 = (phase_buf & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
-    c1a, c2a, c3a = _coeffs_from_taps(taps1)
-    c1b, c2b, c3b = _coeffs_from_taps(taps2)
-    one = np.float32(1.0)
-    diff_scale = np.float32(W.dvscale(wave))
-    diff_offset = np.float32(W.dvoffset(wave))
-    valid = pd != 0
-    pdf = jnp.where(valid, pd, 1).astype(f32)
-    xf = diff_scale / pdf
-    # same cell: factored difference
-    q3 = x2 * x2 + x1 * x2 + x1 * x1
-    q2 = x2 + x1
-    t3h, t3l = _two_prod(c3a, q3)
-    t2h, t2l = _two_prod(c2a, q2)
-    bh, be = _two_sum(t3h, t2h)
-    bh, be2 = _two_sum(bh, c1a)
-    b_lo = be + be2 + t3l + t2l
-    m_same = (x2 - x1)
-    # cross cell: boundary split; mid = lut[i2] - lut[i1+1]
-    head_h, head_l = _horner_diff(c1b, c2b, c3b, x2)
-    tailb = (c3a * (one + x1 + x1 * x1) + c2a * (one + x1) + c1a)
-    th, tl = _two_prod(one - x1, tailb)
-    mh, ml = _two_sum(taps2[1], -taps1[2])
-    dh, de = _two_sum(head_h, th)
-    dh, de2 = _two_sum(dh, mh)
-    d_lo = de + de2 + head_l + tl + ml
-    i1 = (p_prev >> SLENBITS).astype(i32)
-    same_cell = i1 == cells2
-    dIs_h = jnp.where(same_cell, bh * m_same, dh)
-    dIs_l = jnp.where(same_cell, b_lo * m_same, d_lo)
-    ph, pe = _two_prod(dIs_h, xf)
-    lo = pe + dIs_l * xf
-    sh, se = _two_sum(ph, diff_offset)
-    s_raw = sh + (se + lo)
-    # forward-fill pd == 0 positions
-    s_raw = jnp.where(valid, s_raw, np.float32(0.0))
+    s_raw, valid = _wosc_s64(wave, pd, x1, x2, taps1, taps2)
     out = forward_fill_valid(s_raw, valid, prev_s, length)
     has = length > 0
     li = jnp.maximum(length - 1, 0)
