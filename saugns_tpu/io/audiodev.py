@@ -117,13 +117,20 @@ class OssAudioDev:
 
 def open_audiodev(channels, srate):
     """Open the best available backend: ALSA, then OSS (the
-    reference's runtime fallback order, player/audiodev/linux.c:29-46),
-    then a muted null device."""
+    reference's runtime fallback order, player/audiodev/linux.c:29-46).
+
+    When no backend opens, fail like the reference's init_Player
+    (saugns.c:504-516: error + run aborted, exit 1).  Set
+    SAUGNS_TPU_NULL_AUDIO=1 to opt into a muted null device instead
+    (useful on headless rigs)."""
     for cls in (AlsaAudioDev, OssAudioDev):
         try:
             return cls(channels, srate)
         except OSError:
             pass
-    print("warning: audiodev: system audio unavailable, "
-          "continuing muted", file=sys.stderr)
-    return NullAudioDev(srate)
+    if os.environ.get('SAUGNS_TPU_NULL_AUDIO') == '1':
+        print("warning: audiodev: system audio unavailable, "
+              "continuing muted", file=sys.stderr)
+        return NullAudioDev(srate)
+    print("error: audiodev: couldn't open audio device", file=sys.stderr)
+    return None

@@ -56,7 +56,11 @@ class Player:
         if use_audiodev:
             from .audiodev import open_audiodev
             self.ad = open_audiodev(self.ch_count, srate)
-            # unavailable system audio: warn and continue muted
+            if self.ad is None:
+                # match reference init_Player: failed audio open
+                # aborts the run (saugns.c:504-516, exit status 1)
+                self.ok = False
+                return
         if wav_path:
             try:
                 if options & OPT_AUFILE_STDOUT:

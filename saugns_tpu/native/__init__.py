@@ -8,10 +8,9 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
-import sys
-import tempfile
 
 _lib = None
 _tried = False
@@ -30,7 +29,10 @@ def get_lib():
     try:
         os.makedirs(cache, exist_ok=True)
         with open(src, 'rb') as f:
-            tag = '%x' % (hash(f.read()) & 0xffffffffffffffff)
+            # stable content digest: builtin hash() is salted per
+            # process, which recompiled every start and accumulated
+            # stale .so files in the cache dir
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
         so = os.path.join(cache, 'fastdsp_%s.so' % tag)
         if not os.path.exists(so):
             for cc in ('cc', 'gcc', 'clang'):

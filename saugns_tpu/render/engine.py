@@ -1053,49 +1053,52 @@ class JaxGenerator:
             pieces.append(_to_i16_device(outs))
         return pieces
 
-    def _render_f32(self):
-        """Render and pull to host; returns int16-derived float32
-        (total, 2) for compatibility plus caching of int16."""
-        pieces = self.render_device()
+    def _render_i16(self, stereo):
+        """Render and pull int16 channels to host.  The mono downmix
+        happens on device from the *float* stereo mix -- (l+r)*0.5,
+        clamp, rint -- matching mix_write_mono (generator.c:795-805);
+        deriving mono from already-clipped int16 samples would diverge
+        grossly on clipped signals (L=2,R=0: 32767 vs 16384)."""
+        self._upload()
+        st = make_state(self.plan)
         total = self.plan.signal_end
-        li = np.zeros(total, dtype=np.int16)
-        ri = np.zeros(total, dtype=np.int16)
+        chans = [np.zeros(total, dtype=np.int16)
+                 for _ in range(2 if stereo else 1)]
         pos = 0
-        for arr_dev, ep in zip(pieces, self.plan.epochs):
+        for fn, dev, ep in zip(self._epoch_fns(), self._ep_dev,
+                               self.plan.epochs):
+            st, outs = fn(st, *dev, self._recs_dev)
+            arr_dev = _to_i16_device(outs) if stereo \
+                else _to_i16_mono_device(outs)
             arr = np.asarray(arr_dev)
             for bi, blen in enumerate(ep.blk_len):
                 if blen > 0:
-                    li[pos:pos + blen] = arr[bi, :blen, 0]
-                    ri[pos:pos + blen] = arr[bi, :blen, 1]
+                    if stereo:
+                        chans[0][pos:pos + blen] = arr[bi, :blen, 0]
+                        chans[1][pos:pos + blen] = arr[bi, :blen, 1]
+                    else:
+                        chans[0][pos:pos + blen] = arr[bi, :blen]
                     pos += blen
         assert pos == total, (pos, total)
-        self._i16 = (li, ri)
-        out = np.stack([li, ri], axis=-1).astype(np.float32) \
-            / np.float32(32767.0)
-        return out
+        self._i16 = chans
 
     def run(self, out_i16, buf_len, stereo):
         """sauGenerator_run-compatible chunked delivery."""
         if self._rendered is None:
-            self._render_f32()
-            self._rendered = True
-        li, ri = self._i16
-        total = li.shape[0]
+            self._render_i16(stereo)
+            self._rendered = (True, stereo)
+        elif self._rendered[1] != stereo:
+            raise ValueError('stereo flag changed between run() calls')
+        chans = self._i16
+        total = chans[0].shape[0]
         out_i16[:] = 0
         n = min(buf_len, total - self._pos)
         if n > 0:
-            ls = li[self._pos:self._pos + n]
-            rs = ri[self._pos:self._pos + n]
             if stereo:
-                out_i16[0:n * 2:2] = ls
-                out_i16[1:n * 2:2] = rs
+                out_i16[0:n * 2:2] = chans[0][self._pos:self._pos + n]
+                out_i16[1:n * 2:2] = chans[1][self._pos:self._pos + n]
             else:
-                m = (ls.astype(np.float32) + rs.astype(np.float32)) \
-                    * np.float32(0.5) / np.float32(32767.0)
-                m = np.clip(m, np.float32(-1.0), np.float32(1.0))
-                out_i16[:n] = np.rint(
-                    (m * np.float32(32767.0)).astype(np.float64)) \
-                    .astype(np.int16)
+                out_i16[:n] = chans[0][self._pos:self._pos + n]
         self._pos += n
         if self._pos >= total:
             return False, n
@@ -1107,3 +1110,11 @@ def _to_i16_device(outs):
     generator.c:795-825)."""
     x = jnp.clip(outs, np.float32(-1.0), np.float32(1.0))
     return jnp.rint(x * np.float32(32767.0)).astype(jnp.int16)
+
+
+def _to_i16_mono_device(outs):
+    """Mono downmix of the float stereo mix on device
+    (mix_write_mono, generator.c:795-805)."""
+    m = (outs[..., 0] + outs[..., 1]) * np.float32(0.5)
+    m = jnp.clip(m, np.float32(-1.0), np.float32(1.0))
+    return jnp.rint(m * np.float32(32767.0)).astype(jnp.int16)

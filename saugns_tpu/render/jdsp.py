@@ -1265,8 +1265,8 @@ def _scan_kernel_body(rows, combine, identity, y):
                    for s, i_ in zip(sh, identity))
         c = combine(c, sh)
         k *= 2
-    # exclusive offsets = inclusive row scan minus own total
-    neg = combine_inverse = None
+    # callers derive exclusive offsets as inclusive row scan minus
+    # the row's own total (or shifted rows for non-invertible combines)
     return y, c, tot
 
 
@@ -1340,16 +1340,6 @@ def _pallas_scan_max_i32(x):
     from jax.experimental.pallas import tpu as pltpu
     B = x.shape[0]
     R = B // 128
-
-    def kernel(x_ref, o_ref):
-        y = (x_ref[:].reshape(R, 128),)
-        ident = (jnp.zeros((R, 128), i32),)  # values are >= 0
-        comb = lambda a, b: (jnp.maximum(a[0], b[0]),)
-        y, c, tot = _scan_kernel_body(R, comb, ident, y)
-        # max is idempotent: row-inclusive scan can be applied directly
-        out = jnp.maximum(y[0], c[0] - tot[0] + tot[0] - tot[0]
-                          + (c[0] - c[0]))  # placeholder; fixed below
-        o_ref[:] = out.reshape(B)
 
     # For max, the exclusive row offset is the inclusive row scan
     # shifted by one row; build it with an extra roll inside:

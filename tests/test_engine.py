@@ -26,7 +26,7 @@ SCRIPTS = [
 
 def render_jax(prg, srate):
     g = JaxGenerator(prg, srate)
-    g._render_f32()
+    g._render_i16(stereo=True)
     li, ri = g._i16
     out = np.empty(li.shape[0] * 2, np.int16)
     out[0::2] = li
