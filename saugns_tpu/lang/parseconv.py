@@ -275,6 +275,8 @@ class ParseConv:
 
     def check_validity(self, name):
         error = False
+        if name is None:
+            name = '(null)'
         if len(self.va) > P.PVO_MAX_ID:
             print("%s: error: number of voices used cannot exceed %d"
                   % (name, P.PVO_MAX_ID), file=sys.stderr)

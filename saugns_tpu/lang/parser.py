@@ -1259,6 +1259,11 @@ class Parser:
         sc = self.sc
         check_unset = sc.tryc('?')
         var = scan_sym(sc, SYM_VAR, None, False)
+        # the reference's ws-skip/tryc unget sequence leaves the live
+        # frame at the variable name's start; capture it for the
+        # unset-variable notices (measured: ref prints the name's
+        # start column)
+        var_sf = sc._warn_frames[-1].copy() if sc._warn_frames else None
         was_unset = bool(check_unset and var is not None and
                          var.data_use != DATA_NUM)
         mark_fail = was_unset
@@ -1284,11 +1289,12 @@ class Parser:
             if mark_fail:
                 self.script_fail = True
                 sc.s_quiet = True
-                sc.notice(None, "usage: variable '$%s' in script wasn't "
+                sc.notice(var_sf, "usage: variable '$%s' in script wasn't "
                           "set;\n\ttry passing it to the script as an "
                           "option, \"%s=...\""
                           % (var.sstr.key, var.sstr.key))
             else:
+                # live frame here: the '=' rhs number read advanced it
                 sc.notice(None, "usage: variable '$%s' in script wasn't "
                           "set;\n\tusing the fallback value of %f; to "
                           "set,\n\tpass it to the script as an option, "
@@ -1663,17 +1669,25 @@ def flatten_events(e):
 
 def parse_script_arg(arg: ScriptArg):
     """sau_build_Program (sau/parser.c:2092-2116). Returns Program or
-    None."""
+    None.
+
+    Mirrors the reference's actual control flow: a failed open or a
+    '$?' requirement failure leaves ``name`` NULL but still freezes
+    whatever the ParseConv accumulated into a program (printed as
+    Program: \"(null)\" and rendered normally) -- measured from the
+    binary: missing files and \"skipped\" scripts both build and exit
+    0 (parse_file NULL goes to DONE, which still runs fini_ParseConv,
+    sau/parser.c:2104-2113)."""
     pr = Parser(arg)
     sc = pr.sc
-    if not sc.open(arg.str, arg.is_path):
-        return None
-    pr.parse_level(P.POP_N_carr, SCOPE_GROUP, '')
-    name = sc.path
-    sc.close()
-    if pr.script_fail:
-        sc.notice(None, "failed requirement, script will be skipped")
-        return None
+    name = None
+    if sc.open(arg.str, arg.is_path):
+        pr.parse_level(P.POP_N_carr, SCOPE_GROUP, '')
+        name = sc.path
+        sc.close()
+        if pr.script_fail:
+            sc.notice(None, "failed requirement, script will be skipped")
+            name = None
     if not pr.pc.check_validity(name):
         return None
     return pr.pc.create_program(name, pr.sl.sopt)

@@ -212,7 +212,8 @@ class Program:
           '\tEvents:   \t%u\n'
           '\tVoices:   \t%u\n'
           '\tOperators:\t%u\n'.replace('%u', '%d')
-          % (self.name, self.duration_ms, len(self.events),
+          % ('(null)' if self.name is None else self.name,
+             self.duration_ms, len(self.events),
              self.vo_count, self.op_count))
         for ev_id, ev in enumerate(self.events):
             w('/%d \tEV %d \t(VO %d)' % (ev.wait_ms, ev_id, ev.vo_id))

@@ -61,8 +61,18 @@ class Scanner:
         self.closed = False
         self.ws_level = WS_ALL
         self.sf = ScanFrame()
-        # unget history: list of (start_pos, end_pos, frame_after) records
+        # unget history: list of (start_pos, end_pos, ring_frame)
+        # records; ring_frame is what the C undo ring holds -- the
+        # post-get frame for getc, the START-of-token frame for
+        # string/number gets (advance_frame pushes after
+        # char_num += prelen, sau/scanner.c:548-561)
         self._hist = []
+        # undo-ring analog for positioned warnings (warning_at)
+        self._warn_frames = []
+        # ungotten records pending re-get (REGOT flag analog): a
+        # re-get at the same position restores the original frame
+        # instead of recomputing from the restored-previous frame
+        self._pending_regets = []
         self._override = {}  # pos -> patched char (filtered multi-byte gets)
         self.s_quiet = False
         self.s_error = False
@@ -234,9 +244,20 @@ class Scanner:
 
     # -- scanner gets -----------------------------------------------------
 
+    def _pop_reget(self):
+        """REGOT analog: returns the original record when the get
+        starting at the current position re-reads an ungotten get."""
+        if not self._pending_regets:
+            return None
+        if self._pending_regets[-1][0] != self.pos:
+            del self._pending_regets[:]
+            return None
+        return self._pending_regets.pop()
+
     def getc(self) -> str:
         """Get next filtered character; SCAN_EOF ('\\0') at end of file.
         Returns '\\0' for EOF like the C scanner returns 0."""
+        reget = self._pop_reget()
         eof = False
         while True:
             start = self.pos
@@ -256,12 +277,22 @@ class Scanner:
         end = self.pos
         if not eof and (end - start != 1 or self.text[start:start + 1] != c):
             self._override[end - 1] = c
+        if reget is not None and reget[1] == end:
+            # restore the original get's frame (a 1-byte re-read of
+            # the patched byte must not recount filtered chars)
+            self.sf = reget[2].copy()
         self.sf.c = c
         frame = self.sf.copy()
         self._hist.append((start, end, frame))
         if len(self._hist) > 128:
             del self._hist[0]
+        self._push_warn_frame(frame)
         return c
+
+    def _push_warn_frame(self, frame):
+        self._warn_frames.append(frame)
+        if len(self._warn_frames) > 64:
+            del self._warn_frames[0]
 
     def retc(self) -> str:
         c = self.getc()
@@ -280,6 +311,11 @@ class Scanner:
             self.sf = self._hist[-1][2].copy()
         else:
             self.sf = ScanFrame()
+        if self._warn_frames:
+            self._warn_frames.pop()
+        # pos after unget = final byte of the get; a re-get there
+        # restores rec's frame (C REGOT, sau/scanner.c:497-510)
+        self._pending_regets.append((rec[1] - 1, rec[1], rec[2]))
 
     def tryc(self, testc: str) -> bool:
         c = self.getc()
@@ -390,17 +426,38 @@ class Scanner:
         self.file_decp()
         return num_a, length - 1
 
+    def _token_frames(self, start_pos, read_len, reget):
+        """advance_frame analog for multi-char gets
+        (sau/scanner.c:548-561): the undo ring entry is the
+        START-of-token frame; the live frame advances to the token
+        end.  With a pending re-get, the base frame restores from the
+        original record (REGOT)."""
+        if reget is not None:
+            self.sf = reget[2].copy()
+            self.sf.char_num -= 1
+        self.sf.char_num += 1
+        ring = self.sf.copy()
+        self._push_warn_frame(ring)
+        self.sf.char_num += read_len - 1
+        self._hist.append((start_pos, self.pos, ring))
+        if len(self._hist) > 128:
+            del self._hist[0]
+
     def geti(self, allow_sign=False):
         """Scanner-level integer read. Returns (value, read_len)."""
+        start = self.pos
+        reget = self._pop_reget()
         val, rl = self._file_geti(allow_sign)
         if rl:
-            self.sf.char_num += rl
+            self._token_frames(start, rl, reget)
             self.sf.c = self.text[self.pos - 1] if self.pos - 1 < len(self.text) else '\0'
         return val, rl
 
     def getd(self, allow_sign=False, numconst_f=None):
         """Scanner-level double read (sau/scanner.c:775-815).
         Returns (value, read_len)."""
+        start = self.pos
+        reget = self._pop_reget()
         c = self.file_retc()
         sign = False
         minus = False
@@ -424,12 +481,18 @@ class Scanner:
             read_len += 1
         if minus:
             val = -val
-        self.sf.char_num += read_len
+        self._token_frames(start, read_len, reget)
         return val, read_len
 
+    STRBUF_LEN = 256
+
     def get_symstr(self):
-        """Read identifier string; returns interned Symstr or None."""
+        """Read identifier string; returns interned Symstr or None.
+        Identifiers cap at STRBUF_LEN-1 = 255 characters with a
+        warning, skipping the rest (sauScanner_get_symstr,
+        sau/scanner.c:855-883)."""
         start = self.pos
+        reget = self._pop_reget()
         chars = []
         while True:
             c = self._b(self.pos)
@@ -440,30 +503,50 @@ class Scanner:
         if not chars:
             self.pos = start
             return None
-        self.sf.char_num += len(chars)
+        read_len = len(chars)
+        if read_len > self.STRBUF_LEN - 1:
+            chars = chars[:self.STRBUF_LEN - 1]
+            self.warning(None, "limiting identifier to %d characters"
+                         % (self.STRBUF_LEN - 1))
+        self._token_frames(start, read_len, reget)
         return self.symtab.get_symstr(''.join(chars))
 
     # -- diagnostics --------------------------------------------------------
 
     def _print_stderr(self, label, sf, msg):
-        if sf is not None:
-            print("%s:%d:%d: %s: %s" % (self.name, sf.line_num,
-                                        sf.char_num, label, msg),
-                  file=sys.stderr)
+        """print_stderr (sau/scanner.c:906-922): positioned prefix
+        unless printing the live current frame after EOF."""
+        at_cur_after_eof = sf is None and self.file_at_eof()
+        if sf is None:
+            sf = self.sf
+        if not at_cur_after_eof:
+            pos = "%s:%d:%d: " % (self.name, sf.line_num, sf.char_num)
         else:
-            print("%s: %s: %s" % (self.name, label, msg), file=sys.stderr)
+            pos = "%s: " % self.name
+        if label is not None:
+            pos += "%s: " % label
+        print(pos + msg, file=sys.stderr)
 
     def notice(self, sf, msg):
-        self._print_stderr("notice", sf if sf is not None else self.sf, msg)
+        """sauScanner_notice: positioned message without a label
+        prefix (sau/scanner.c:924-937)."""
+        self._print_stderr(None, sf, msg)
 
     def warning(self, sf, msg):
         if self.s_quiet:
             return
-        self._print_stderr("warning", sf if sf is not None else self.sf, msg)
+        self._print_stderr("warning", sf, msg)
 
     def warning_at(self, got_at, msg):
-        self.warning(self.sf, msg)
+        """sauScanner_warning_at: position from the undo ring at
+        relative index (0 = the latest get)."""
+        if self.s_quiet:
+            return
+        idx = -1 + got_at
+        sf = self._warn_frames[idx] if self._warn_frames \
+            and -len(self._warn_frames) <= idx < 0 else self.sf
+        self._print_stderr("warning", sf, msg)
 
     def error(self, sf, msg):
         self.s_error = True
-        self._print_stderr("error", sf if sf is not None else self.sf, msg)
+        self._print_stderr("error", sf, msg)

@@ -36,12 +36,24 @@ def find_help(topic):
     return None
 
 
-def print_names(names, indent='\t', out=None):
-    """sau_print_names column printer (sau/help.c:73-90)."""
+def print_names(names, headstr='\t', out=None):
+    """sau_print_names (sau/help.c:73-90): comma-separated list,
+    wrapping to a new headstr-prefixed line when the running length
+    reaches 56; returns True if anything was printed."""
     out = out or sys.stdout
-    i = 0
     names = [n for n in names if n]
-    while i < len(names):
-        row = names[i:i + 8]
-        out.write(indent + '\t'.join(row) + '\n')
-        i += 8
+    if not names:
+        return False
+    ln = 0
+    for i, name in enumerate(names):
+        if ln > 0 and ln < 56:
+            out.write(', %s' % name)
+            ln += 2 + len(name)
+        elif i > 0:
+            out.write(',\n%s%s' % (headstr, name))
+            ln = 2 + len(headstr) + len(name)
+        else:
+            out.write('%s%s' % (headstr, name))
+            ln = len(headstr) + len(name)
+    out.write('\n')
+    return True
