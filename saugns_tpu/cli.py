@@ -105,6 +105,7 @@ def parse_args(argv):
     script_args = []
     predef = []
     wav_path = None
+    ir_path = None
     srate = DEFAULT_SRATE
     h_arg = False
     h_type = None
@@ -133,6 +134,18 @@ def parse_args(argv):
                     if flags & (OPT_MODE_CHECK | OPT_AUFILE_STDOUT):
                         usage(); return None
                     flags |= OPT_MODE_FULL | OPT_AUDIO_STDOUT
+                elif longname == 'save-ir' or \
+                        longname.startswith('save-ir='):
+                    # extension: write each built program's serialized
+                    # IR artifact (lang/serialize.py); programs load
+                    # back via a .sauir script argument
+                    if longname.startswith('save-ir='):
+                        ir_path = longname[8:]
+                    else:
+                        i += 1
+                        if i >= len(argv):
+                            usage(); return None
+                        ir_path = argv[i]
                 else:
                     print("%s: invalid option \"%s\"" % (NAME, arg),
                           file=sys.stderr)
@@ -239,14 +252,25 @@ def parse_args(argv):
     for sa in script_args:
         sa.no_time = bool(flags & OPT_DETERMINISTIC)
         sa.predef = predef
-    return flags, script_args, wav_path, srate
+    return flags, script_args, wav_path, srate, ir_path
 
 
 def read_scripts(script_args):
     prgs = []
     built = 0
     for sa in script_args:
-        prg = build_program(sa)
+        if sa.is_path and sa.str.endswith('.sauir'):
+            # serialized Program IR artifact (see lang/serialize.py):
+            # skip the compile stage entirely
+            from .lang.serialize import load_program
+            try:
+                prg = load_program(sa.str)
+            except (OSError, ValueError, KeyError) as e:
+                print("error: couldn't load IR file \"%s\": %s"
+                      % (sa.str, e), file=sys.stderr)
+                prg = None
+        else:
+            prg = build_program(sa)
         if prg is not None:
             built += 1
         prgs.append(prg)
@@ -284,10 +308,20 @@ def main(argv=None):
     parsed = parse_args(argv)
     if parsed is None:
         return 0
-    options, script_args, wav_path, srate = parsed
+    options, script_args, wav_path, srate, ir_path = parsed
     built, prgs = read_scripts(script_args)
     if built == 0:
         return 1
+    if ir_path is not None:
+        from .lang.serialize import save_program
+        many = sum(1 for p in prgs if p is not None) > 1
+        k = 0
+        for prg in prgs:
+            if prg is None:
+                continue
+            path = ir_path if not many else '%s.%d' % (ir_path, k)
+            save_program(prg, path)
+            k += 1
     if prgs:
         if not play(prgs, srate, options, wav_path):
             return 1
