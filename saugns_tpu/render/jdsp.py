@@ -1014,30 +1014,34 @@ def _build_tap_mats():
 def _gather_taps_pallas(cells, tapmat):
     """cells: (B,) int32 in [0, 2048); tapmat: (128, 256) f32, laid
     out tapmat[hi, k*16+lo] = component k of cell hi*16+lo, values
-    bf16-exact. Returns (B, 128) f32 with the 12 exact tap components
-    in columns 0..11. B: multiple of 2048.
+    bf16-exact. Returns (8, B) f32 with the 4 exact f32 taps of each
+    cell in rows 0..3 (rows 4..7 zero). B: multiple of 2048.
 
     Two-level MXU gather: a 2048-wide one-hot matmul costs 2048 MACs
     per lookup; splitting the cell index into hi (128) and lo (16)
     does one 128-wide one-hot dot to fetch all 16 lo-candidates, masks
-    by the lo one-hot, and sums candidate groups with a constant 0/1
-    matrix -- 4x fewer FLOPs, exact (every accumulation has at most
-    one nonzero term)."""
+    by the lo one-hot, and reduces candidate groups with a constant
+    0/1 matrix -- 4x fewer FLOPs, exact. The reduction matrix sums the
+    three bf16-exact components of each tap directly (the components
+    are non-overlapping truncations of one f32 value, so any
+    accumulation order is exact), making the second dot an 8-row
+    matmul and the kernel's HBM output 16x smaller than emitting all
+    12 components."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B = cells.shape[0]
     TILE = 2048  # samples per kernel invocation
     grid = (B // TILE,)
     cells2 = cells.reshape(B // 256, 256)
-    # Gt[k, k*16+lo] = 1: sums each 16-wide lo-group into component k.
-    # The second dot contracts on BOTH operands' minor axis so the
-    # output lands transposed (components x samples): tap components
-    # come out as rows, which downstream slices for free (column
-    # slices of a (B, 128) result cost ~100 us each as strided
-    # kLoop fusions on v5e).
-    g = np.zeros((128, 256), np.float32)
+    # component k = limb*4 + tap (see _build_tap_mats); row t sums all
+    # limbs of tap t over the 16-wide lo-group: g[t, k*16+lo] = 1 iff
+    # k % 4 == t. The second dot contracts on BOTH operands' minor
+    # axis so the output lands transposed (taps x samples): tap rows
+    # slice for free downstream (column slices of a (B, ...) result
+    # cost ~100 us each as strided kLoop fusions on v5e).
+    g = np.zeros((8, 256), np.float32)
     for k in range(12):
-        g[k, k * 16:(k + 1) * 16] = 1.0
+        g[k % 4, k * 16:(k + 1) * 16] = 1.0
     with jax.ensure_compile_time_eval():
         gmat = jnp.asarray(g)
 
@@ -1066,13 +1070,13 @@ def _gather_taps_pallas(cells, tapmat):
                   pl.BlockSpec((128, 256),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((128, 256),
+                  pl.BlockSpec((8, 256),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((128, TILE),
+        out_specs=pl.BlockSpec((8, TILE),
                                lambda i: (np.int32(0), i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((128, B), f32),
+        out_shape=jax.ShapeDtypeStruct((8, B), f32),
     )(cells2, tapmat, gmat)
 
 
@@ -1095,8 +1099,7 @@ def gather_taps(cells, wave):
         cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
             else cells
         mats = _build_tap_mats()
-        acc = _gather_taps_pallas(cp, mats[wave])[:, :B]
-        return acc[0:4] + acc[4:8] + acc[8:12]
+        return _gather_taps_pallas(cp, mats[wave])[0:4, :B]
     _, piluts = get_tables()
     pilut = piluts[wave]
     c = cells[None, :] + jnp.arange(-1, 3, dtype=i32)[:, None]
