@@ -1002,6 +1002,22 @@ class JaxGenerator:
         self._ep_dev = None
         self._rendered = None
         self._pos = 0
+        self._flat = None
+        if os.environ.get('SAUGNS_TPU_FLAT', '1') == '1':
+            from .hostsim import HostSim
+            self._sim = HostSim(self.plan)
+            self._flat = [None] * len(self.plan.epochs)
+
+    def _flat_epoch(self, ei):
+        """Flat (time-parallel) renderer for epoch ``ei``, or None if
+        the epoch must run on the sequential scan path."""
+        if self._flat is None or not self._sim.bakes[ei].eligible:
+            return None
+        if self._flat[ei] is None:
+            from .flat import FlatEpoch
+            self._flat[ei] = FlatEpoch(self.plan, self.plan.epochs[ei],
+                                       self._sim.bakes[ei], self.srate)
+        return self._flat[ei]
 
     def _upload(self):
         if self._recs_dev is None:
@@ -1040,6 +1056,19 @@ class JaxGenerator:
             fns.append(fn)
         return fns
 
+    def _run_epochs(self, st):
+        """Yield per-epoch float stereo output (n_blocks, B, 2),
+        choosing the flat (time-parallel) renderer where the epoch is
+        eligible and the sequential scan elsewhere."""
+        for ei, (fn, dev) in enumerate(zip(self._epoch_fns(),
+                                           self._ep_dev)):
+            fl = self._flat_epoch(ei)
+            if fl is not None:
+                st, outs = fl.run(st, self._recs_dev)
+            else:
+                st, outs = fn(st, *dev, self._recs_dev)
+            yield st, outs
+
     def render_device(self):
         """Run the full render; returns a list of per-epoch device
         arrays of int16 blocks (n_blocks, B, 2) -- nothing crosses the
@@ -1048,8 +1077,7 @@ class JaxGenerator:
         self._upload()
         st = make_state(self.plan)
         pieces = []
-        for fn, dev in zip(self._epoch_fns(), self._ep_dev):
-            st, outs = fn(st, *dev, self._recs_dev)
+        for st, outs in self._run_epochs(st):
             pieces.append(_to_i16_device(outs))
         return pieces
 
@@ -1065,9 +1093,8 @@ class JaxGenerator:
         chans = [np.zeros(total, dtype=np.int16)
                  for _ in range(2 if stereo else 1)]
         pos = 0
-        for fn, dev, ep in zip(self._epoch_fns(), self._ep_dev,
-                               self.plan.epochs):
-            st, outs = fn(st, *dev, self._recs_dev)
+        for ep, (st, outs) in zip(self.plan.epochs,
+                                  self._run_epochs(st)):
             arr_dev = _to_i16_device(outs) if stereo \
                 else _to_i16_mono_device(outs)
             arr = np.asarray(arr_dev)

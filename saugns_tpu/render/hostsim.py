@@ -264,9 +264,20 @@ class HostSim:
             return 'sim tainted by earlier ratio-flip conversion'
         if len(ep.op_changes) > 1:
             return 'mid-epoch operator rebinding'
-        for s in ep.stages:
+        seen_cells = set()
+        for si, s in enumerate(ep.stages):
             if s.kind in (K_WRUN_SELF, K_RRUN_SELF):
                 return 'self-PM feedback stage'
+            # device-side state cells shared by duplicate instances
+            # interleave their per-block advances stage-by-stage; the
+            # flat path computes each stage over all blocks at once,
+            # which would diverge -- fall back
+            if s.kind in (K_WPHASE, K_WRUN, K_RCYCLE, K_NOISE):
+                stage_op = np.asarray(ep.blk_stage_op[0]).ravel()
+                cell = (int(stage_op[si]), s.kind)
+                if cell in seen_cells:
+                    return 'shared oscillator state cell'
+                seen_cells.add(cell)
         ra = self.plan.rec_arrays
         nb = len(ep.blk_len)
         for k in range(1, nb):

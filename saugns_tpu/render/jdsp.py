@@ -159,9 +159,18 @@ def _mxu_cumsum_limbs(x, nbits, n_limbs, dtype):
         jnp.triu(jnp.ones((128, 128), f32)))
     intra = combine([jnp.dot(l, U) for l in split(xm)])
     rt = intra[:, 127]
-    Lm = jax.lax.optimization_barrier(
-        jnp.tril(jnp.ones((R, R), f32), -1))
-    offs = combine([jnp.dot(Lm, l) for l in split(rt)])
+    if R > 1024:
+        # large inputs (the flat renderer scans whole multi-megasample
+        # chunks): an explicit (R, R) triangular matrix would be
+        # R^2 floats of HBM -- recurse on the row totals instead
+        # (inclusive - self = exclusive; exact mod 2^nbits)
+        incl = _mxu_cumsum_limbs(rt, nbits, n_limbs, dtype) \
+            if R % 1024 == 0 else jax.lax.associative_scan(jnp.add, rt)
+        offs = incl - rt
+    else:
+        Lm = jax.lax.optimization_barrier(
+            jnp.tril(jnp.ones((R, R), f32), -1))
+        offs = combine([jnp.dot(Lm, l) for l in split(rt)])
     return (intra + offs[:, None]).reshape(B)
 
 
