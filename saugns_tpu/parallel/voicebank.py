@@ -1,0 +1,306 @@
+"""Mesh-parallel rendering of real SAU programs: voice-sharded banks.
+
+The reference's only cross-voice interaction is the stereo mix
+(sau/generator.c:749-788), so voices are the natural data-parallel
+axis. This module renders *actual compiled Programs* -- parsed by the
+real frontend, planned by RenderPlan, state-baked by HostSim, executed
+by the flat renderer -- across a ``jax.sharding.Mesh``:
+
+- The plan's per-voice stage schedules are checked for structural
+  uniformity (same template modulo operator/instance renumbering --
+  the shape of generated voice banks, ``make_bank_script``).
+- One ``FlatSegment`` compile of the single-voice template is vmapped
+  over the voice axis (the Pallas tap gather, MXU prefix scans, and
+  last-valid fills all batch exactly under vmap).
+- Under ``shard_map`` the voice axis is partitioned across devices and
+  the stereo mix is reduced with ``jax.lax.psum`` over ICI -- the
+  TPU-native form of the reference's mix accumulation loop.
+
+Per-device accumulation is *ordered* over local voices (ascending
+voice id), which makes a 1-device mesh bit-identical to the plain
+engine; across multiple devices the psum reduction order differs, so
+cross-device-count comparisons are exact only to f32 reduction
+rounding (well below int16 quantization in practice).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..lang import program as P
+from ..render import jdsp
+from ..render.engine import (C_NN, C_NPREV, C_PHASE, C_RCPHI, C_RCPLO,
+                             C_WPPH, C_WPS, C_WRESET, apply_records,
+                             make_state)
+from ..render.flat import FlatSegment, _u
+from ..render.hostsim import HostSim
+from ..render.plan import (K_NOISE, K_RCYCLE, K_VMIX, K_WPHASE,
+                           K_WRUN, RenderPlan)
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def make_bank_script(n_voices: int, seed: int = 0,
+                     duration: float = 1.0) -> str:
+    """Generate a real SAU script: an n-voice PM bank (carrier with
+    one phase modulator each, spread over pitch/index/pan). Parses
+    through the ordinary frontend into n independent voices."""
+    rng = np.random.RandomState(seed)
+    lines = ['S a.m%.3f' % (1.0 / max(n_voices, 1))]
+    for v in range(n_voices):
+        freq = 110.0 * 2.0 ** (rng.randint(0, 36) / 12.0)
+        ratio = rng.choice([0.5, 1.0, 1.5, 2.0, 3.0])
+        index = rng.uniform(0.2, 1.5)
+        pan = rng.uniform(-1.0, 1.0)
+        lines.append(
+            'Wsin f%.2f t%.3f a1 c%.3f p[Wsin r%.2f a%.3f]'
+            % (freq, duration, pan, ratio, index))
+    return '\n'.join(lines) + '\n'
+
+
+class _EpochView:
+    """Single-voice view of one epoch: the stage/instance slice of one
+    voice with instance ids renumbered, presented with the attribute
+    surface FlatSegment consumes."""
+
+    def __init__(self, ep, v_lo, v_hi, i_lo, i_hi):
+        from ..render.plan import Stage, Instance
+        self.block = ep.block
+        self.blk_len = ep.blk_len
+        nb = len(ep.blk_len)
+        self.blk_rec_lo = np.zeros(nb, np.int32)
+        self.blk_rec_hi = np.zeros(nb, np.int32)
+        self.blk_stage_op = np.asarray(ep.blk_stage_op)[:, v_lo:v_hi]
+        self.blk_inst_op = np.asarray(ep.blk_inst_op)[:, i_lo:i_hi]
+        self.stages = []
+        for s in ep.stages[v_lo:v_hi]:
+            s2 = Stage(**{k: getattr(s, k) for k in
+                          ('kind', 'inst', 'op', 'dst', 'a', 'b', 'c',
+                           'line', 'wave_env', 'layer', 'skip_line',
+                           'voice', 'freq_buf_id', 'wave', 'ntype',
+                           'ltype', 'ras')})
+            s2.inst = s.inst - i_lo if s.inst >= 0 else -1
+            s2.voice = 0
+            self.stages.append(s2)
+        self.instances = []
+        for it in ep.instances[i_lo:i_hi]:
+            self.instances.append(Instance(
+                op=it.op, parent=it.parent - i_lo
+                if it.parent >= 0 else -1, voice=0))
+        stage_sig, inst_src, scatter = ep.sig
+        sig_v = tuple(
+            (s[0], s[1] - i_lo if s[1] >= 0 else s[1]) + s[2:11]
+            + (s[11] - i_lo if s[11] >= 0 else s[11],) + s[12:]
+            for s in stage_sig[v_lo:v_hi])
+        src_v = tuple(x - i_lo if x >= 0 else -1
+                      for x in inst_src[i_lo:i_hi])
+        self.sig = (sig_v, src_v, ())
+
+
+@dataclass
+class _VoiceSlice:
+    v_lo: int
+    v_hi: int
+    i_lo: int
+    i_hi: int
+
+
+class BankPlan:
+    """Uniformity analysis + per-voice flat segments for a Program
+    whose voices share one schedule template."""
+
+    def __init__(self, prg, srate):
+        self.prg = prg
+        self.srate = srate
+        self.plan = RenderPlan(prg, srate)
+        self.sim = HostSim(self.plan)
+        self.ok, self.why = self._analyze()
+
+    def _analyze(self):
+        plan = self.plan
+        # main epoch = the last one (bank scripts: all records at t=0,
+        # one rendering epoch); all earlier epochs must be empty
+        self.main_ei = len(plan.epochs) - 1
+        for ep in plan.epochs[:-1]:
+            if ep.start != ep.end:
+                return False, 'multiple rendering epochs'
+        ep = plan.epochs[-1]
+        bake = self.sim.bakes[-1]
+        if not bake.eligible or len(bake.segments) != 1:
+            return False, 'main epoch not a single flat segment: ' \
+                + bake.reason
+        # split stages into per-voice runs
+        slices: List[_VoiceSlice] = []
+        cur_v = None
+        for si, s in enumerate(ep.stages):
+            if cur_v != s.voice:
+                i_lo = s.inst
+                slices.append(_VoiceSlice(si, si, i_lo, i_lo))
+                cur_v = s.voice
+            sl = slices[-1]
+            sl.v_hi = si + 1
+            if s.inst >= 0:
+                sl.i_lo = min(sl.i_lo, s.inst)
+                sl.i_hi = max(sl.i_hi, s.inst + 1)
+        self.slices = slices
+        views = [_EpochView(ep, sl.v_lo, sl.v_hi, sl.i_lo, sl.i_hi)
+                 for sl in slices]
+        sig0 = views[0].sig
+        for v in views[1:]:
+            if v.sig != sig0:
+                return False, 'voices are not structurally uniform'
+        self.views = views
+        self.n_voices = len(views)
+        return True, ''
+
+    def build(self):
+        """Per-voice FlatSegments (one shared compile) + stacked
+        device tables."""
+        assert self.ok, self.why
+        ep = self.plan.epochs[self.main_ei]
+        bake = self.sim.bakes[self.main_ei]
+        segs = []
+        for k, (sl, view) in enumerate(zip(self.slices, self.views)):
+            vb = _bake_view(bake, sl, view)
+            fs = FlatSegment(self.plan, view, vb, vb.segments[0],
+                             self.srate)
+            fs._upload()
+            segs.append(fs)
+        self.segs = segs
+        f0 = segs[0]
+        self.gch, self.ng, self.nc, self.B = (f0.gch, f0.ng, f0.nc,
+                                              f0.B)
+        self.nb = f0.nb
+        # stacked per-voice tables: groups of {k: (V, gch, ...)}
+        self.xs_groups = []
+        for g in range(f0.ng):
+            self.xs_groups.append({
+                k: jnp.stack([s._xs_groups[g][k] for s in segs])
+                for k in f0._xs_groups[g]})
+        self.dyn = {k: jnp.stack([s._dyn_dev[k] for s in segs])
+                    for k in f0._dyn_dev}
+        # record range covering everything up to the main epoch's end
+        # of block-0 records (all bank records land at t=0)
+        self.rec_hi = int(ep.blk_rec_hi[0])
+        return self
+
+
+def _bake_view(bake, sl, view):
+    """Slice an EpochBake down to one voice's stages/instances."""
+    from ..render.hostsim import EpochBake, SegBake
+    vb = EpochBake(eligible=True)
+    vb.lens = np.asarray(bake.lens)[:, sl.i_lo:sl.i_hi]
+    vb.gates = np.asarray(bake.gates)[:, sl.i_lo:sl.i_hi]
+    vb.stages = {}
+    for si in range(sl.v_lo, sl.v_hi):
+        if si in bake.stages:
+            vb.stages[si - sl.v_lo] = bake.stages[si]
+    seg = SegBake(lo=0, hi=len(view.blk_len), eligible=True)
+    src = bake.segments[0]
+    for k in ('end_lv0', 'end_lvt', 'end_lpos', 'end_lend',
+              'end_ltype', 'end_lflags', 'end_time', 'end_tinf',
+              'end_vdur'):
+        setattr(seg, k, getattr(src, k))
+    vb.segments = [seg]
+    return vb
+
+
+class BankRender:
+    """Renders a uniform-voice Program over a device mesh.
+
+    ``mesh``: a Mesh with a 'voices' axis (or None for single-device).
+    The per-voice flat scan is vmapped; voices shard over the mesh and
+    the stereo mix is psum-reduced over ICI."""
+
+    def __init__(self, prg, srate, mesh: Optional[Mesh] = None,
+                 ordered_mix: Optional[bool] = None):
+        self.bp = BankPlan(prg, srate)
+        if not self.bp.ok:
+            raise ValueError('program is not a uniform voice bank: '
+                             + self.bp.why)
+        self.bp.build()
+        self.mesh = mesh
+        V = self.bp.n_voices
+        self.ordered_mix = ordered_mix if ordered_mix is not None \
+            else (V <= 64)
+
+    def _mix_local(self, outs):
+        """outs: (V_local, gch, nc, B, 2) -> (gch*nc*B, 2), summing
+        voices. Ordered (ascending id, matching the engine's VMIX
+        chain) when requested -- f32 adds are order-sensitive."""
+        V = outs.shape[0]
+        flat = outs.reshape(V, -1, 2)
+        if self.ordered_mix:
+            def body(k, acc):
+                return acc + flat[k]
+            mix = jax.lax.fori_loop(1, V, body, flat[0])
+        else:
+            mix = jnp.sum(flat, axis=0)
+        return mix
+
+    def render(self):
+        """Full render -> (n_samples, 2) f32 stereo mix (device)."""
+        bp = self.bp
+        plan = bp.plan
+        st = make_state(plan)
+        recs = {k: jnp.asarray(v) for k, v in plan.rec_arrays.items()}
+        st = jax.jit(apply_records, static_argnums=(1, 2))(
+            st, 0, bp.rec_hi, recs)
+        seg0 = bp.segs[0]
+        init_fn, scan_fn, fini_fn = seg0._fn
+
+        def init_one(dyn):
+            dyn = dict(dyn)
+            dyn['rec_lo'] = jnp.int32(0)
+            dyn['rec_hi'] = jnp.int32(0)  # records already applied
+            _, carry = init_fn(st, recs, dyn)
+            return carry
+
+        if self.mesh is None:
+            carry = jax.vmap(init_one)(bp.dyn)
+            groups = []
+            for xsg in bp.xs_groups:
+                carry, outs = jax.vmap(scan_fn)(carry, xsg)
+                groups.append(self._mix_local(outs))
+            mix = jnp.concatenate(groups, axis=0)
+            return mix[:self._n_valid()]
+
+        vspec = PSpec('voices')
+
+        def shard_body(dyn, *xs_groups):
+            carry = jax.vmap(init_one)(dyn)
+            pieces = []
+            for xsg in xs_groups:
+                carry, outs = jax.vmap(scan_fn)(carry, xsg)
+                pieces.append(self._mix_local(outs))
+            mix = jnp.concatenate(pieces, axis=0)
+            return jax.lax.psum(mix, 'voices')
+
+        in_specs = (jax.tree.map(lambda _: vspec, bp.dyn),) + tuple(
+            jax.tree.map(lambda _: vspec, g) for g in bp.xs_groups)
+        fn = jax.jit(jax.shard_map(
+            shard_body, mesh=self.mesh, in_specs=in_specs,
+            out_specs=PSpec(), check_vma=False))
+        dyn_sh = jax.device_put(
+            bp.dyn, NamedSharding(self.mesh, vspec))
+        xs_sh = [jax.device_put(
+            g, jax.tree.map(
+                lambda _: NamedSharding(self.mesh, vspec), g))
+            for g in bp.xs_groups]
+        mix = fn(dyn_sh, *xs_sh)
+        return mix[:self._n_valid()]
+
+    def _n_valid(self):
+        ep = self.bp.plan.epochs[self.bp.main_ei]
+        return int(np.sum(np.asarray(ep.blk_len)))
+
+    def render_i16(self):
+        x = jnp.clip(self.render(), np.float32(-1.0), np.float32(1.0))
+        return jnp.rint(x * np.float32(32767.0)).astype(jnp.int16)

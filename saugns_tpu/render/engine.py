@@ -1009,14 +1009,17 @@ class JaxGenerator:
             self._flat = [None] * len(self.plan.epochs)
 
     def _flat_epoch(self, ei):
-        """Flat (time-parallel) renderer for epoch ``ei``, or None if
-        the epoch must run on the sequential scan path."""
+        """Flat (time-parallel) segment renderers for epoch ``ei``, or
+        None if the epoch must run on the sequential scan path."""
         if self._flat is None or not self._sim.bakes[ei].eligible:
             return None
         if self._flat[ei] is None:
-            from .flat import FlatEpoch
-            self._flat[ei] = FlatEpoch(self.plan, self.plan.epochs[ei],
-                                       self._sim.bakes[ei], self.srate)
+            from .flat import FlatSegment
+            bake = self._sim.bakes[ei]
+            self._flat[ei] = [
+                FlatSegment(self.plan, self.plan.epochs[ei], bake, seg,
+                            self.srate)
+                for seg in bake.segments]
         return self._flat[ei]
 
     def _upload(self):
@@ -1064,7 +1067,12 @@ class JaxGenerator:
                                            self._ep_dev)):
             fl = self._flat_epoch(ei)
             if fl is not None:
-                st, outs = fl.run(st, self._recs_dev)
+                pieces = []
+                for seg in fl:
+                    st, so = seg.run(st, self._recs_dev)
+                    pieces.append(so)
+                outs = pieces[0] if len(pieces) == 1 \
+                    else jnp.concatenate(pieces, axis=0)
             else:
                 st, outs = fn(st, *dev, self._recs_dev)
             yield st, outs
@@ -1081,53 +1089,88 @@ class JaxGenerator:
             pieces.append(_to_i16_device(outs))
         return pieces
 
-    def _render_i16(self, stereo):
-        """Render and pull int16 channels to host.  The mono downmix
-        happens on device from the *float* stereo mix -- (l+r)*0.5,
-        clamp, rint -- matching mix_write_mono (generator.c:795-805);
-        deriving mono from already-clipped int16 samples would diverge
-        grossly on clipped signals (L=2,R=0: 32767 vs 16384)."""
+    def _stream_i16(self, stereo):
+        """Yield host int16 arrays -- shape (n, 2) stereo / (n,) mono
+        -- covering the timeline in order, with bounded device and
+        host memory (one chunk group at a time; long scripts stream,
+        matching the reference's constant-memory block loop,
+        generator.c:28,905-973).
+
+        The mono downmix happens on device from the *float* stereo
+        mix -- (l+r)*0.5, clamp, rint -- matching mix_write_mono
+        (generator.c:795-805); deriving mono from already-clipped
+        int16 samples would diverge grossly on clipped signals
+        (L=2,R=0: 32767 vs 16384)."""
         self._upload()
         st = make_state(self.plan)
-        total = self.plan.signal_end
-        chans = [np.zeros(total, dtype=np.int16)
-                 for _ in range(2 if stereo else 1)]
+        conv = _to_i16_device if stereo else _to_i16_mono_device
         pos = 0
-        for ep, (st, outs) in zip(self.plan.epochs,
-                                  self._run_epochs(st)):
-            arr_dev = _to_i16_device(outs) if stereo \
-                else _to_i16_mono_device(outs)
-            arr = np.asarray(arr_dev)
-            for bi, blen in enumerate(ep.blk_len):
-                if blen > 0:
-                    if stereo:
-                        chans[0][pos:pos + blen] = arr[bi, :blen, 0]
-                        chans[1][pos:pos + blen] = arr[bi, :blen, 1]
-                    else:
-                        chans[0][pos:pos + blen] = arr[bi, :blen]
-                    pos += blen
-        assert pos == total, (pos, total)
-        self._i16 = chans
+        fns = self._epoch_fns()
+        for ei, ep in enumerate(self.plan.epochs):
+            # blocks are contiguous from the epoch's absolute start; a
+            # leading script wait leaves [0, epochs[0].start) silent
+            # with no covering block (e.g. tone_seq-v1.sau's '/0.5')
+            if ep.start > pos:
+                gap = int(ep.start) - pos
+                yield np.zeros((gap, 2) if stereo else gap, np.int16)
+                pos = int(ep.start)
+            fl = self._flat_epoch(ei)
+            if fl is not None:
+                for seg in fl:
+                    bi = int(seg.lo)
+                    for kind, val, nv in seg.stream(st,
+                                                    self._recs_dev):
+                        if kind == 'st':
+                            st = val
+                            continue
+                        arr = np.asarray(conv(val.reshape(
+                            -1, seg.B, 2)[:nv]))
+                        for k in range(nv):
+                            blen = int(ep.blk_len[bi + k])
+                            if blen > 0:
+                                yield arr[k, :blen]
+                                pos += blen
+                        bi += nv
+            else:
+                st, outs = fns[ei](st, *self._ep_dev[ei],
+                                   self._recs_dev)
+                arr = np.asarray(conv(outs))
+                for k, blen in enumerate(ep.blk_len):
+                    if blen > 0:
+                        yield arr[k, :int(blen)]
+                        pos += int(blen)
+        assert pos == self.plan.signal_end, (pos,
+                                             self.plan.signal_end)
 
     def run(self, out_i16, buf_len, stereo):
-        """sauGenerator_run-compatible chunked delivery."""
+        """sauGenerator_run-compatible chunked delivery (streaming:
+        pulls one chunk group from the device at a time)."""
         if self._rendered is None:
-            self._render_i16(stereo)
+            self._stream = self._stream_i16(stereo)
+            self._pending = None
+            self._left = self.plan.signal_end
             self._rendered = (True, stereo)
         elif self._rendered[1] != stereo:
             raise ValueError('stereo flag changed between run() calls')
-        chans = self._i16
-        total = chans[0].shape[0]
         out_i16[:] = 0
-        n = min(buf_len, total - self._pos)
-        if n > 0:
+        n = 0
+        while n < buf_len and self._left > 0:
+            if self._pending is None or len(self._pending) == 0:
+                try:
+                    self._pending = next(self._stream)
+                except StopIteration:
+                    break
+            take = min(buf_len - n, len(self._pending))
+            part = self._pending[:take]
             if stereo:
-                out_i16[0:n * 2:2] = chans[0][self._pos:self._pos + n]
-                out_i16[1:n * 2:2] = chans[1][self._pos:self._pos + n]
+                out_i16[n * 2:(n + take) * 2:2] = part[:, 0]
+                out_i16[n * 2 + 1:(n + take) * 2:2] = part[:, 1]
             else:
-                out_i16[:n] = chans[0][self._pos:self._pos + n]
-        self._pos += n
-        if self._pos >= total:
+                out_i16[n:n + take] = part
+            self._pending = self._pending[take:]
+            self._left -= take
+            n += take
+        if self._left <= 0:
             return False, n
         return True, buf_len
 

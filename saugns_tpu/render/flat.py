@@ -55,6 +55,7 @@ u32 = jnp.uint32
 u64 = jnp.uint64
 
 FLAT_CHUNK = 1 << 21   # samples per device chunk (8 MiB per buffer)
+STREAM_GROUP = 8       # chunks per device dispatch (memory bound)
 
 # noise color indices (P.NOISE_NAMES order)
 N_WH, N_GW, N_BW, N_TW, N_RE, N_VI, N_BV = range(7)
@@ -131,29 +132,52 @@ def _last_valid_fill(s_raw, valid, in_range, seed):
         None)
 
 
-class FlatEpoch:
-    """Compiled flat renderer for one eligible epoch."""
+class FlatSegment:
+    """Compiled flat renderer for one eligible segment (a block range
+    of an epoch with constant operator bindings and oscillator records
+    only at its first block). The jitted function is cached by
+    structural signature -- operator ids, record ranges, and active
+    flags enter as data -- so every segment of an epoch (and any other
+    epoch with the same schedule) shares one compile."""
 
     _cache: Dict = {}
 
-    def __init__(self, plan, ep, bake, srate):
-        from ..dsp import wavetables as W
+    def __init__(self, plan, ep, bake, seg, srate):
         self.plan = plan
         self.ep = ep
         self.bake = bake
+        self.seg = seg
         self.srate = srate
         stage_sig, inst_src, _ = ep.sig
         self.stage_sig = stage_sig
-        nb = len(ep.blk_len)
+        lo, hi = seg.lo, seg.hi
+        nb = hi - lo
         B = ep.block
-        nc = max(min(FLAT_CHUNK // B, nb), 1)
-        nch = -(-nb // nc)
-        self.nb, self.B, self.nc, self.nch = nb, B, nc, nch
+        cap = max(FLAT_CHUNK // B, 1)
+        # quantize the padded block count (8 steps per octave) so
+        # segments of similar size share one compile while padding
+        # waste stays under ~12% (power-of-2 rounding cost 45% on an
+        # 88-block epoch)
+        q = 1
+        while q * 8 < nb:
+            q *= 2
+        nb_r = -(-nb // q) * q
+        nc = min(cap, nb_r)
+        nch = -(-nb_r // nc)
+        # chunks run in groups of <= STREAM_GROUP under one dispatch;
+        # bounded memory for arbitrarily long segments, and the last
+        # group is padded with inert chunks so one compile serves all
+        gch = min(nch, STREAM_GROUP)
+        ng = -(-nch // gch)
+        nch = ng * gch
+        nb_r = nch * nc
+        self.lo, self.nb, self.B, self.nc, self.nch = lo, nb, B, nc, nch
+        self.gch, self.ng = gch, ng
         self.stage_op = tuple(int(x) for x in
-                              np.asarray(ep.blk_stage_op[0]).ravel()) \
+                              np.asarray(ep.blk_stage_op[lo]).ravel()) \
             if len(ep.stages) else ()
         self.inst_op = tuple(int(x) for x in
-                             np.asarray(ep.blk_inst_op[0]).ravel()) \
+                             np.asarray(ep.blk_inst_op[lo]).ravel()) \
             if len(ep.instances) else ()
         self._bake_tables()
         self._fn = self._build()
@@ -161,24 +185,25 @@ class FlatEpoch:
     # -- host-side chunk table assembly ----------------------------------
 
     def _bake_tables(self):
-        ep, bake = self.ep, self.bake
-        nb, B, nc, nch = self.nb, self.B, self.nc, self.nch
+        ep, bake, seg = self.ep, self.bake, self.seg
+        lo, nb, B, nc, nch = self.lo, self.nb, self.B, self.nc, self.nch
+        hi = seg.hi
         pad = nch * nc - nb
 
         def padb(a, fill=0):
+            a = np.asarray(a)[lo:hi]
             if pad == 0:
-                return np.asarray(a)
-            a = np.asarray(a)
+                return a
             w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return np.pad(a, w, constant_values=fill)
 
         n_insts = max(len(ep.instances), 1)
         lens = padb(bake.lens if bake.lens is not None
-                    else np.zeros((nb, n_insts), np.int32))
+                    else np.zeros((hi, n_insts), np.int32))
         self.t_lens = lens.reshape(nch, nc, -1)
         # per-K_LINE-stage state tables, stacked (n_line, nch, nc)
-        self.line_sis = [si for si, s in enumerate(ep.stages)
-                         if s.kind == K_LINE]
+        self.line_sis = [si for si, st_ in enumerate(ep.stages)
+                         if st_.kind == K_LINE]
         if self.line_sis:
             self.t_lv0 = np.stack([padb(bake.stages[si].v0)
                                    for si in self.line_sis]) \
@@ -195,17 +220,22 @@ class FlatEpoch:
             self.t_lflags = np.stack([padb(bake.stages[si].flags)
                                       for si in self.line_sis]) \
                 .reshape(len(self.line_sis), nch, nc)
-        self.noise_sis = [si for si, s in enumerate(ep.stages)
-                          if s.kind == K_NOISE]
+        self.noise_sis = [si for si, st_ in enumerate(ep.stages)
+                          if st_.kind == K_NOISE]
         if self.noise_sis:
-            self.t_noff = np.stack([padb(bake.stages[si].noff)
-                                    for si in self.noise_sis]) \
+            # noise counter offsets relative to segment start (the
+            # device re-reads the op's counter at segment entry)
+            self.t_noff = np.stack(
+                [padb(np.asarray(bake.stages[si].noff)
+                      - bake.stages[si].noff[lo])
+                 for si in self.noise_sis]) \
                 .reshape(len(self.noise_sis), nch, nc).astype(np.uint32)
         # stateful stages: per-chunk last in-range flat index + active
-        self.state_sis = [si for si, s in enumerate(ep.stages)
-                          if s.kind in (K_WRUN, K_NOISE)]
-        li_tab = np.zeros((len(self.state_sis), nch), np.int32)
-        act_tab = np.zeros((len(self.state_sis), nch), bool)
+        self.state_sis = [si for si, st_ in enumerate(ep.stages)
+                          if st_.kind in (K_WRUN, K_NOISE)]
+        li_tab = np.zeros((max(len(self.state_sis), 1), nch), np.int32)
+        fi_tab = np.zeros((max(len(self.state_sis), 1), nch), np.int32)
+        act_tab = np.zeros((max(len(self.state_sis), 1), nch), bool)
         for k, si in enumerate(self.state_sis):
             inst = ep.stages[si].inst
             sl = lens[:, inst].reshape(nch, nc)
@@ -214,17 +244,18 @@ class FlatEpoch:
                 if len(rows):
                     r = rows[-1]
                     li_tab[k, c] = r * B + sl[c, r] - 1
+                    fi_tab[k, c] = rows[0] * B
                     act_tab[k, c] = True
         self.t_last_ir = li_tab
+        self.t_first_ir = fi_tab
         self.t_act = act_tab
-        # epoch totals for noise counter advance (per noise stage)
+        # per-stage totals / activity over the segment
         self.noise_total = {}
         for si in self.noise_sis:
             inst = ep.stages[si].inst
             self.noise_total[si] = np.uint32(
                 np.sum(lens[:, inst].astype(np.uint64))
                 & np.uint64(0xffffffff))
-        # any-active per stateful cell (for WRESET / state-write gates)
         self.stage_active = {si: bool(np.any(
             lens[:, ep.stages[si].inst] > 0))
             for si in range(len(ep.stages))}
@@ -246,13 +277,7 @@ class FlatEpoch:
         line_pos = {si: k for k, si in enumerate(self.line_sis)}
         noise_pos = {si: k for k, si in enumerate(self.noise_sis)}
         state_pos = {si: k for k, si in enumerate(self.state_sis)}
-        stage_op = self.stage_op
-        inst_op = self.inst_op
-        stage_active = self.stage_active
-        noise_total = self.noise_total
         n_insts = len(ep.instances)
-        rec_lo0 = int(ep.blk_rec_lo[0])
-        rec_hi0 = int(ep.blk_rec_hi[0])
 
         # carries: one slot per stateful stage
         ph_sis = [si for si, s in enumerate(stages)
@@ -263,13 +288,18 @@ class FlatEpoch:
                   if s.kind == K_WRUN]
         no_sis = list(self.noise_sis)
 
-        def epoch_fn(st, recs, xs_tables, end_tabs):
-            if rec_hi0 > rec_lo0:
-                st = apply_records(st, rec_lo0, rec_hi0, recs)
-            jdsp.get_tables()
+        def init_fn(st, recs, dyn):
+            # operator bindings, record ranges, activity flags and
+            # counter totals are data, so one compile serves every
+            # segment with this schedule signature
+            st = jax.lax.cond(
+                dyn['rec_hi'] > dyn['rec_lo'],
+                lambda s_: apply_records(s_, dyn['rec_lo'],
+                                         dyn['rec_hi'], recs),
+                lambda s_: s_, st)
 
             def op_of(si):
-                return stage_op[si]
+                return dyn['ops'][si]
 
             carry0 = {}
             for si in ph_sis:
@@ -289,7 +319,10 @@ class FlatEpoch:
                 op = op_of(si)
                 carry0['nn%d' % si] = _u(st['si'][op, C_NN])
                 carry0['np%d' % si] = _u(st['si'][op, C_NPREV])
+            return st, carry0
 
+        def scan_fn(carry, xs_tables):
+            jdsp.get_tables()
             idx_b = jnp.arange(B, dtype=i32)[None, :]
 
             def chunk(carry, xs):
@@ -411,42 +444,49 @@ class FlatEpoch:
                 out = jnp.stack([mixl, mixr], axis=-1)
                 return new_carry, out
 
-            xs_all = {k: jnp.asarray(v) for k, v in xs_tables.items()}
-            carry_end, outs = jax.lax.scan(chunk, carry0, xs_all)
+            carry_end, outs = jax.lax.scan(chunk, carry, xs_tables)
+            return carry_end, outs
 
-            # -- write back state -------------------------------------
+        def fini_fn(st, carry_end, end_tabs, dyn):
+            def op_of(si):
+                return dyn['ops'][si]
+
+            # -- write back state (gated by per-stage activity) ---------
             sf, si_arr = st['sf'], st['si']
+
+            def seti(arr, op, col, v, act):
+                return arr.at[op, col].set(
+                    jnp.where(act, v, arr[op, col]))
+
             for si in ph_sis:
-                if not stage_active[si]:
-                    continue
-                si_arr = si_arr.at[op_of(si), C_PHASE].set(
-                    _i(carry_end['ph%d' % si]))
+                act = dyn['sact'][si]
+                si_arr = seti(si_arr, op_of(si), C_PHASE,
+                              _i(carry_end['ph%d' % si]), act)
             for si in cy_sis:
-                if not stage_active[si]:
-                    continue
+                act = dyn['sact'][si]
                 cp = carry_end['cp%d' % si]
-                si_arr = si_arr.at[op_of(si), C_RCPLO].set(
-                    _i(cp.astype(u32)))
-                si_arr = si_arr.at[op_of(si), C_RCPHI].set(
-                    _i((cp >> np.uint64(32)).astype(u32)))
+                si_arr = seti(si_arr, op_of(si), C_RCPLO,
+                              _i(cp.astype(u32)), act)
+                si_arr = seti(si_arr, op_of(si), C_RCPHI,
+                              _i((cp >> np.uint64(32)).astype(u32)),
+                              act)
             for si in wr_sis:
-                if not stage_active[si]:
-                    continue
+                act = dyn['sact'][si]
                 op = op_of(si)
-                si_arr = si_arr.at[op, C_WPPH].set(
-                    _i(carry_end['pp%d' % si]))
-                sf = sf.at[op, C_WPS].set(carry_end['ps%d' % si])
-                si_arr = si_arr.at[op, C_WRESET].set(0)
+                si_arr = seti(si_arr, op, C_WPPH,
+                              _i(carry_end['pp%d' % si]), act)
+                sf = seti(sf, op, C_WPS, carry_end['ps%d' % si], act)
+                si_arr = seti(si_arr, op, C_WRESET, 0, act)
             for si in no_sis:
-                if not stage_active[si]:
-                    continue
+                act = dyn['sact'][si]
                 op = op_of(si)
-                si_arr = si_arr.at[op, C_NN].set(
-                    _i(carry_end['nn%d' % si] + noise_total[si]))
-                # nn carry stays at its epoch-start value; noff tables
-                # are epoch-absolute, so the total advance adds once
-                si_arr = si_arr.at[op, C_NPREV].set(
-                    _i(carry_end['np%d' % si]))
+                # nn carry stays at its segment-start value; noff
+                # tables are segment-relative, so the total adds once
+                si_arr = seti(si_arr, op, C_NN,
+                              _i(carry_end['nn%d' % si]
+                                 + dyn['ntot'][noise_pos[si]]), act)
+                si_arr = seti(si_arr, op, C_NPREV,
+                              _i(carry_end['np%d' % si]), act)
             # host-authoritative columns
             sf = sf.at[:, C_LV0:C_LV0 + 6].set(end_tabs['lv0'])
             sf = sf.at[:, C_LVT:C_LVT + 6].set(end_tabs['lvt'])
@@ -464,9 +504,17 @@ class FlatEpoch:
             st['sf'] = sf
             st['si'] = si_arr
             st['vdur'] = end_tabs['vdur']
-            return st, outs
+            return st
 
-        return jax.jit(epoch_fn)
+        key = (stage_sig, self.B, self.nc, self.gch, srate,
+               float(amp_scale), plan.n_ops, plan.n_voices,
+               plan.n_recs)
+        fns = FlatSegment._cache.get(key)
+        if fns is None:
+            fns = (jax.jit(init_fn), jax.jit(scan_fn),
+                   jax.jit(fini_fn))
+            FlatSegment._cache[key] = fns
+        return fns
 
     # -- stage helpers (traced inside chunk) -------------------------------
 
@@ -490,9 +538,11 @@ class FlatEpoch:
         row_last = jnp.take_along_axis(phase2, li[:, None],
                                        axis=1)[:, 0]   # (nc,)
         row_act = slen > 0
-        is_first = xs['first']
-        pp_in = jnp.where(is_first & carry['rst%d' % si],
-                          phase2[0, 0] - SLENu, carry['pp%d' % si])
+        k = state_pos[si]
+        has_act = xs['act'][k]
+        last_ir = xs['last_ir'][k]
+        first_ir = xs['first_ir'][k]
+        pp_in = carry['pp%d' % si]
         row_hold = _row_fill(row_last, row_act, pp_in)   # (nc,)
         held = jnp.where(mask2, phase2, row_hold[:, None])
         ph_flat = held.reshape(nc * B)
@@ -503,6 +553,22 @@ class FlatEpoch:
         ptaps = jdsp.taps_at(pp_in >> jdsp.SLENBITS, wave)
         taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
                                  taps2[:, :-1]], axis=1)
+        # an unconsumed reset (prepare/mode record) pairs the FIRST
+        # ACTIVE sample with its own phase minus SLEN (wosc.h:215-231)
+        # -- delayed modulators activate mid-segment, so this is not
+        # necessarily sample 0
+        do_rst = carry['rst%d' % si] & has_act
+        ph_fi = ph_flat[first_ir]
+        rst_prev = ph_fi - SLENu
+        p_prev = p_prev.at[first_ir].set(
+            jnp.where(do_rst, rst_prev, p_prev[first_ir]))
+        rtaps = jdsp.taps_at(rst_prev >> jdsp.SLENBITS, wave)
+        fi32 = first_ir.astype(i32)
+        old_col = jax.lax.dynamic_slice(
+            taps1, (jnp.int32(0), fi32), (4, 1))
+        taps1 = jax.lax.dynamic_update_slice(
+            taps1, jnp.where(do_rst, rtaps[:, None], old_col),
+            (jnp.int32(0), fi32))
         from ..dsp import wavetables as W
         x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) \
             * jdsp.X_SCALE
@@ -512,9 +578,6 @@ class FlatEpoch:
         s_raw, valid = jdsp._wosc_s64(wave, pd, x1, x2, taps1, taps2)
         out = _last_valid_fill(s_raw, valid, mask2.reshape(nc * B),
                                carry['ps%d' % si])
-        k = state_pos[si]
-        has_act = xs['act'][k]
-        last_ir = xs['last_ir'][k]
         new_carry['pp%d' % si] = row_hold[-1]
         new_carry['ps%d' % si] = jnp.where(has_act, out[last_ir],
                                            carry['ps%d' % si])
@@ -593,10 +656,14 @@ class FlatEpoch:
 
     # -- public API ---------------------------------------------------------
 
-    def run(self, st, recs):
-        """Render the epoch; returns (st', outs (nb, B, 2) f32)."""
+    def _upload(self):
+        """One-time device upload of the baked tables (the tunnel
+        moves host data at ~33 MB/s; per-render H2D would dominate)."""
+        if getattr(self, '_xs_dev', None) is not None:
+            return
         xs = {'lens': self.t_lens.astype(np.int32),
               'last_ir': np.ascontiguousarray(self.t_last_ir.T),
+              'first_ir': np.ascontiguousarray(self.t_first_ir.T),
               'act': np.ascontiguousarray(self.t_act.T),
               'first': np.arange(self.nch) == 0}
         if self.line_sis:
@@ -613,13 +680,62 @@ class FlatEpoch:
         if self.noise_sis:
             xs['noff'] = np.ascontiguousarray(
                 self.t_noff.transpose(1, 0, 2))
-        bake = self.bake
-        end_tabs = {'lv0': bake.end_lv0, 'lvt': bake.end_lvt,
-                    'lpos': bake.end_lpos, 'lend': bake.end_lend,
-                    'ltype': bake.end_ltype,
-                    'lflags': bake.end_lflags,
-                    'time': bake.end_time, 'tinf': bake.end_tinf,
-                    'vdur': bake.end_vdur}
-        st, outs = self._fn(st, recs, xs, end_tabs)
-        outs = outs.reshape(self.nch * self.nc, self.B, 2)[:self.nb]
-        return st, outs
+        gch, ng = self.gch, self.ng
+        self._xs_groups = []
+        for g in range(ng):
+            sl = slice(g * gch, (g + 1) * gch)
+            self._xs_groups.append(
+                {k: jax.device_put(np.ascontiguousarray(v[sl]))
+                 for k, v in xs.items()})
+        seg = self.seg
+        end_tabs = {'lv0': seg.end_lv0, 'lvt': seg.end_lvt,
+                    'lpos': seg.end_lpos, 'lend': seg.end_lend,
+                    'ltype': seg.end_ltype,
+                    'lflags': seg.end_lflags,
+                    'time': seg.end_time, 'tinf': seg.end_tinf,
+                    'vdur': seg.end_vdur}
+        self._end_dev = {k: jax.device_put(v)
+                         for k, v in end_tabs.items()}
+        ep = self.ep
+        n_stages = len(ep.stages)
+        sact = np.zeros(max(n_stages, 1), bool)
+        for si in range(n_stages):
+            sact[si] = self.stage_active[si]
+        ntot = np.zeros(max(len(self.noise_sis), 1), np.uint32)
+        for k, si in enumerate(self.noise_sis):
+            ntot[k] = self.noise_total[si]
+        dyn = {'ops': np.asarray(self.stage_op, np.int32)
+               if self.stage_op else np.zeros(1, np.int32),
+               'rec_lo': np.int32(ep.blk_rec_lo[self.lo]),
+               'rec_hi': np.int32(ep.blk_rec_hi[self.lo]),
+               'sact': sact, 'ntot': ntot}
+        self._dyn_dev = {k: jax.device_put(v) for k, v in dyn.items()}
+
+    def run(self, st, recs):
+        """Render the segment; returns (st', outs (nb, B, 2) f32)."""
+        pieces = []
+        for kind, val, nv in self.stream(st, recs):
+            if kind == 'out':
+                pieces.append(val.reshape(self.gch * self.nc,
+                                          self.B, 2))
+            else:
+                st = val
+        outs = pieces[0] if len(pieces) == 1 \
+            else jnp.concatenate(pieces, axis=0)
+        return st, outs[:self.nb]
+
+    def stream(self, st, recs):
+        """Yield ('out', outs (gch, nc, B, 2) f32, n_valid_blocks)
+        per chunk group in order, then ('st', st'). Device memory per
+        step is bounded by one group regardless of segment length."""
+        self._upload()
+        init_fn, scan_fn, fini_fn = self._fn
+        st, carry = init_fn(st, recs, self._dyn_dev)
+        done = 0
+        for g, xsg in enumerate(self._xs_groups):
+            carry, outs = scan_fn(carry, xsg)
+            n_valid = min(self.nb - done, self.gch * self.nc)
+            yield 'out', outs, n_valid
+            done += n_valid
+        st = fini_fn(st, carry, self._end_dev, self._dyn_dev)
+        yield 'st', st, 0

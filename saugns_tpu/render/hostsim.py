@@ -97,13 +97,15 @@ class StageBake:
 
 
 @dataclass
-class EpochBake:
+class SegBake:
+    """One flat-renderable block range [lo, hi) of an epoch: operator
+    bindings are constant inside it and oscillator records occur only
+    at its first block."""
+    lo: int = 0
+    hi: int = 0
     eligible: bool = False
     reason: str = ''
-    lens: Optional[np.ndarray] = None    # (nb, n_insts) i32, gated
-    gates: Optional[np.ndarray] = None   # (nb, n_insts) bool
-    stages: Dict[int, StageBake] = field(default_factory=dict)
-    # end-of-epoch authoritative scalar state (full columns)
+    # authoritative scalar state at segment end (full columns)
     end_lv0: Optional[np.ndarray] = None     # (n_ops, 6) f32
     end_lvt: Optional[np.ndarray] = None
     end_lpos: Optional[np.ndarray] = None    # (n_ops, 6) i32
@@ -113,6 +115,16 @@ class EpochBake:
     end_time: Optional[np.ndarray] = None    # (n_ops,) i32
     end_tinf: Optional[np.ndarray] = None
     end_vdur: Optional[np.ndarray] = None    # (n_voices,) i32
+
+
+@dataclass
+class EpochBake:
+    eligible: bool = False    # every segment flat-renderable
+    reason: str = ''
+    segments: List[SegBake] = field(default_factory=list)
+    lens: Optional[np.ndarray] = None    # (nb, n_insts) i32, gated
+    gates: Optional[np.ndarray] = None   # (nb, n_insts) bool
+    stages: Dict[int, StageBake] = field(default_factory=dict)
 
 
 class HostSim:
@@ -259,27 +271,13 @@ class HostSim:
         for ep in plan.epochs:
             self.bakes.append(self._run_epoch(ep))
 
-    def _epoch_eligible(self, ep):
-        if self.tainted:
-            return 'sim tainted by earlier ratio-flip conversion'
-        if len(ep.op_changes) > 1:
-            return 'mid-epoch operator rebinding'
-        seen_cells = set()
-        for si, s in enumerate(ep.stages):
-            if s.kind in (K_WRUN_SELF, K_RRUN_SELF):
-                return 'self-PM feedback stage'
-            # device-side state cells shared by duplicate instances
-            # interleave their per-block advances stage-by-stage; the
-            # flat path computes each stage over all blocks at once,
-            # which would diverge -- fall back
-            if s.kind in (K_WPHASE, K_WRUN, K_RCYCLE, K_NOISE):
-                stage_op = np.asarray(ep.blk_stage_op[0]).ravel()
-                cell = (int(stage_op[si]), s.kind)
-                if cell in seen_cells:
-                    return 'shared oscillator state cell'
-                seen_cells.add(cell)
+    def _seg_starts(self, ep):
+        """Blocks that must start a new flat segment: oscillator
+        records (prepare / phase / seed / mode) or operator-binding
+        changes are confined to segment starts."""
         ra = self.plan.rec_arrays
         nb = len(ep.blk_len)
+        starts = {0}
         for k in range(1, nb):
             for ri in range(ep.blk_rec_lo[k], ep.blk_rec_hi[k]):
                 if ra['kind'][ri] != 0:
@@ -287,17 +285,79 @@ class HostSim:
                 if ra['prepare'][ri] or (
                         ra['params'][ri] & (P.POPP_PHASE | P.POPP_SEED
                                             | P.POPP_MODE)):
-                    return 'mid-epoch oscillator record'
-        return ''
+                    starts.add(k)
+                    break
+            if not np.array_equal(ep.blk_stage_op[k],
+                                  ep.blk_stage_op[k - 1]) or \
+                    not np.array_equal(ep.blk_inst_op[k],
+                                       ep.blk_inst_op[k - 1]):
+                starts.add(k)
+        return sorted(starts)
+
+    def _seg_shared_cells(self, ep, lo):
+        """Duplicate instances sharing a device state cell interleave
+        their per-block advances; the flat path computes each stage
+        over all blocks at once, which would diverge."""
+        seen = set()
+        stage_op = np.asarray(ep.blk_stage_op[lo]).ravel()
+        for si, s in enumerate(ep.stages):
+            if s.kind in (K_WPHASE, K_WRUN, K_RCYCLE, K_NOISE):
+                cell = (int(stage_op[si]), s.kind)
+                if cell in seen:
+                    return True
+                seen.add(cell)
+        return False
+
+    def _snap_end(self, seg):
+        n = self.plan.n_ops
+        seg.end_lv0 = np.zeros((n, N_SLOTS), f32)
+        seg.end_lvt = np.zeros((n, N_SLOTS), f32)
+        seg.end_lpos = np.zeros((n, N_SLOTS), np.int32)
+        seg.end_lend = np.zeros((n, N_SLOTS), np.int32)
+        seg.end_ltype = np.zeros((n, N_SLOTS), np.int32)
+        seg.end_lflags = np.zeros((n, N_SLOTS), np.int32)
+        for op in range(n):
+            for sl in range(N_SLOTS):
+                ls = self.lines[op][sl]
+                seg.end_lv0[op, sl] = ls.v0
+                seg.end_lvt[op, sl] = ls.vt
+                seg.end_lpos[op, sl] = ls.pos
+                seg.end_lend[op, sl] = ls.end
+                seg.end_ltype[op, sl] = ls.type
+                seg.end_lflags[op, sl] = ls.flags
+        seg.end_time = np.clip(self.time, -0x80000000,
+                               0x7fffffff).astype(np.int32)
+        seg.end_tinf = self.tinf.astype(np.int32)
+        seg.end_vdur = np.clip(self.vdur, -0x80000000,
+                               0x7fffffff).astype(np.int32)
 
     def _run_epoch(self, ep) -> EpochBake:
         plan = self.plan
         nb = len(ep.blk_len)
         n_insts = len(ep.instances)
-        stage_sig, inst_src, _scatter = ep.sig
-        reason = self._epoch_eligible(ep)
-        bake = EpochBake(eligible=(reason == ''), reason=reason)
-        el = bake.eligible
+        hard = ''
+        if self.tainted:
+            hard = 'sim tainted by earlier ratio-flip conversion'
+        for s in ep.stages:
+            if s.kind in (K_WRUN_SELF, K_RRUN_SELF):
+                hard = 'self-PM feedback stage'
+        bake = EpochBake(eligible=False, reason=hard)
+        el = not hard
+        starts = self._seg_starts(ep)
+        seg_of_block = np.zeros(nb, np.int32)
+        for i, lo in enumerate(starts):
+            hi = starts[i + 1] if i + 1 < len(starts) else nb
+            seg_of_block[lo:hi] = i
+            seg = SegBake(lo=lo, hi=hi)
+            if el:
+                if self._seg_shared_cells(ep, lo):
+                    seg.eligible = False
+                    seg.reason = 'shared oscillator state cell'
+                else:
+                    seg.eligible = True
+            else:
+                seg.reason = hard
+            bake.segments.append(seg)
         if el:
             bake.lens = np.zeros((nb, n_insts), np.int32)
             bake.gates = np.zeros((nb, n_insts), bool)
@@ -308,11 +368,9 @@ class HostSim:
                         pos=np.zeros(nb, np.int32),
                         end=np.zeros(nb, np.int32),
                         flags=np.zeros(nb, np.int32))
-                elif s.kind in (K_NOISE, K_WPHASE, K_WRUN, K_RCYCLE,
-                                K_RRUN):
+                elif s.kind == K_NOISE:
                     bake.stages[si] = StageBake(
-                        noff=np.zeros(nb, np.uint32)
-                        if s.kind == K_NOISE else None)
+                        noff=np.zeros(nb, np.uint32))
 
         # last stage index per instance (for inst_end / C_TIME decr)
         last_stage = {}
@@ -322,7 +380,6 @@ class HostSim:
 
         noise_n = {si: np.uint32(0) for si, s in enumerate(ep.stages)
                    if s.kind == K_NOISE}
-        flat_pos = 0  # sample index into the epoch's nb*B grid
 
         for k in range(nb):
             blen = int(ep.blk_len[k])
@@ -384,9 +441,6 @@ class HostSim:
                     elif s.kind == K_NOISE:
                         sb.noff[k] = noise_n[si]
                         noise_n[si] += np.uint32(elen)
-                    if sb is not None and elen > 0:
-                        sb.active = True
-                        sb.last_ir = flat_pos + elen - 1
                 # state transitions (gated like the device writes)
                 if s.kind == K_LINE:
                     ls = self.lines[row][s.line]
@@ -399,8 +453,12 @@ class HostSim:
                         self._force_line_adv(ls, length)
                         if gate:
                             self.tainted = True
-                            bake.eligible = False
-                            bake.reason = 'ratio-flip conversion w/ mul'
+                            el = False
+                            for seg in bake.segments:
+                                if seg.hi > k:
+                                    seg.eligible = False
+                                    seg.reason = \
+                                        'ratio-flip conversion w/ mul'
                     if not gate:
                         (ls.v0, ls.vt, ls.pos, ls.end, ls.flags) = \
                             (before[0], before[1], before[2], before[3],
@@ -417,30 +475,16 @@ class HostSim:
             for v in sorted(vgate.keys()):
                 if vgate[v]:
                     self.vdur[v] -= vlen[v]
-            flat_pos += ep.block
+            sid = int(seg_of_block[k])
+            if k + 1 >= nb or int(seg_of_block[k + 1]) != sid:
+                if bake.segments[sid].eligible:
+                    self._snap_end(bake.segments[sid])
 
-        if bake.eligible:
-            n = plan.n_ops
-            bake.end_lv0 = np.zeros((n, N_SLOTS), f32)
-            bake.end_lvt = np.zeros((n, N_SLOTS), f32)
-            bake.end_lpos = np.zeros((n, N_SLOTS), np.int32)
-            bake.end_lend = np.zeros((n, N_SLOTS), np.int32)
-            bake.end_ltype = np.zeros((n, N_SLOTS), np.int32)
-            bake.end_lflags = np.zeros((n, N_SLOTS), np.int32)
-            for op in range(n):
-                for sl in range(N_SLOTS):
-                    ls = self.lines[op][sl]
-                    bake.end_lv0[op, sl] = ls.v0
-                    bake.end_lvt[op, sl] = ls.vt
-                    bake.end_lpos[op, sl] = ls.pos
-                    bake.end_lend[op, sl] = ls.end
-                    bake.end_ltype[op, sl] = ls.type
-                    bake.end_lflags[op, sl] = ls.flags
-            bake.end_time = np.clip(self.time, -0x80000000,
-                                    0x7fffffff).astype(np.int32)
-            bake.end_tinf = self.tinf.astype(np.int32)
-            bake.end_vdur = np.clip(self.vdur, -0x80000000,
-                                    0x7fffffff).astype(np.int32)
+        bake.eligible = bool(bake.segments) and \
+            all(sg.eligible for sg in bake.segments)
+        if not bake.eligible and not bake.reason:
+            bake.reason = '; '.join(sorted(
+                {sg.reason for sg in bake.segments if sg.reason}))
         return bake
 
     def _force_line_adv(self, ls, length):

@@ -26,12 +26,14 @@ SCRIPTS = [
 
 def render_jax(prg, srate):
     g = JaxGenerator(prg, srate)
-    g._render_i16(stereo=True)
-    li, ri = g._i16
-    out = np.empty(li.shape[0] * 2, np.int16)
-    out[0::2] = li
-    out[1::2] = ri
-    return out
+    chunks = []
+    buf = np.zeros(4096 * 2, np.int16)
+    while True:
+        more, n = g.run(buf, 4096, True)
+        chunks.append(buf[:n * 2].copy())
+        if not more:
+            break
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
 
 
 @pytest.mark.parametrize('script', SCRIPTS)

@@ -78,11 +78,14 @@ def test_engine_matches_host_renderer(path):
     ref = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
 
     jg = JaxGenerator(prg, srate)
-    jg._render_i16(stereo=True)
-    li, ri = jg._i16
-    out = np.empty(li.shape[0] * 2, np.int16)
-    out[0::2] = li
-    out[1::2] = ri
+    jchunks = []
+    while True:
+        more, n = jg.run(buf, 4096, True)
+        jchunks.append(buf[:n * 2].copy())
+        if not more:
+            break
+    out = np.concatenate(jchunks) if jchunks else \
+        np.zeros(0, np.int16)
 
     assert out.shape == ref.shape, (out.shape, ref.shape)
     if out.shape[0] == 0:
