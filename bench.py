@@ -78,24 +78,28 @@ def main():
 
     # bulk polyphony stress: 1024-voice FM bank, 10 s
     try:
-        from saugns_tpu.parallel.sharding import (make_mesh,
-                                                  render_fm_bank,
-                                                  sharded_args)
-        mesh = make_mesh(len(jax.devices()))
-        n_samples = SRATE * 32
-        args, n_samples = sharded_args(mesh, 1024, n_samples)
-        fn = jax.jit(lambda *a: render_fm_bank(mesh, *a,
-                                               n_samples=n_samples))
-        fn(*args)[0].block_until_ready()
+        # 1024-voice PM bank through the REAL engine: generated SAU
+        # script -> frontend -> Program IR -> plan/host-sim -> flat
+        # renderer, per-voice template vmapped over the voice axis
+        # (parallel/voicebank.py); on a multi-chip mesh the voices
+        # shard with a psum mix over ICI.
+        from saugns_tpu.parallel.voicebank import (BankRender,
+                                                   make_bank_script)
+        src = make_bank_script(1024, seed=1, duration=8.0)
+        prg = build_program(ScriptArg(str=src, is_path=False,
+                                      no_time=True, predef=[]))
+        bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
+        jax.block_until_ready(bank.render_i16())
         wall = float('inf')
         for _ in range(3):
             t0 = time.time()
-            out = fn(*args)
-            out.block_until_ready()
+            jax.block_until_ready(bank.render_i16())
             wall = min(wall, time.time() - t0)
-        results['poly1024'] = (n_samples / SRATE) / wall
-        print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f (1024 voices)'
-              % ('poly1024', n_samples / SRATE, wall,
+        audio_s = bank._n_valid() / SRATE
+        results['poly1024'] = audio_s / wall
+        print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f '
+              '(1024 voices, real engine)'
+              % ('poly1024', audio_s, wall,
                  results['poly1024']), file=sys.stderr)
     except Exception as e:
         print('# poly1024 failed: %s' % e, file=sys.stderr)

@@ -25,19 +25,19 @@ OPT_MODE_CHECK = 1 << 6
 
 
 def _make_generator(prg, srate):
-    """Select render backend: 'cpu' (host renderer, bit-exact vs the
-    reference binary on the headline corpus -- native-C hot paths) or
-    'jax' (TPU engine, the throughput path for device-resident /
-    bulk-polyphony rendering; agrees with the host renderer to
-    ~76-108 dB SNR, see docs/BENCH.md). File/audio output defaults to
-    the exact host path; set SAUGNS_TPU_BACKEND=jax to render on
-    device."""
-    backend = os.environ.get('SAUGNS_TPU_BACKEND', 'cpu')
-    if backend == 'jax':
-        from ..render.engine import JaxGenerator
-        return JaxGenerator(prg, srate)
-    from ..render.cpu import Generator
-    return Generator(prg, srate)
+    """Select render backend: 'jax' (default -- the device engine;
+    byte-identical to the reference binary across the example corpus,
+    verified by the engine fidelity gate) or 'cpu' (host NumPy +
+    native-C renderer, also byte-exact; no JIT warm-up). Set
+    SAUGNS_TPU_BACKEND=cpu for the host path -- useful on machines
+    where first-use XLA compilation latency matters more than
+    throughput (compiles persist in SAUGNS_TPU_CACHE)."""
+    backend = os.environ.get('SAUGNS_TPU_BACKEND', 'jax')
+    if backend == 'cpu':
+        from ..render.cpu import Generator
+        return Generator(prg, srate)
+    from ..render.engine import JaxGenerator
+    return JaxGenerator(prg, srate)
 
 
 class Player:

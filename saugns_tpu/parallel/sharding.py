@@ -112,8 +112,9 @@ def render_fm_bank(mesh: Mesh, freq, ratio, index, amp, pan, n_samples,
 
     in_specs = (vspec,) * 5
     out_spec = P('time') if has_time else P()
-    # check_vma=False: the Pallas tap-gather inside doesn't annotate
-    # varying-mesh-axes metadata on its ShapeDtypeStructs
+    # check_vma=False: the closed-form per-chunk phasor bases are
+    # computed from axis_index, which the varying-mesh-axes checker
+    # cannot see through
     fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_spec, check_vma=False)
     return fn(freq, ratio, index, amp, pan)

@@ -245,6 +245,22 @@ class BankRender:
             mix = jnp.sum(flat, axis=0)
         return mix
 
+    def _vfns(self):
+        if getattr(self, '_vinit', None) is None:
+            init_fn, scan_fn, _ = self.bp.segs[0]._fn
+
+            def init_one(st, recs, dyn):
+                dyn = dict(dyn)
+                dyn['rec_lo'] = jnp.int32(0)
+                dyn['rec_hi'] = jnp.int32(0)  # records pre-applied
+                _, carry = init_fn(st, recs, dyn)
+                return carry
+
+            self._vinit = jax.jit(
+                jax.vmap(init_one, in_axes=(None, None, 0)))
+            self._vscan = jax.jit(jax.vmap(scan_fn))
+        return self._vinit, self._vscan
+
     def render(self):
         """Full render -> (n_samples, 2) f32 stereo mix (device)."""
         bp = self.bp
@@ -253,8 +269,7 @@ class BankRender:
         recs = {k: jnp.asarray(v) for k, v in plan.rec_arrays.items()}
         st = jax.jit(apply_records, static_argnums=(1, 2))(
             st, 0, bp.rec_hi, recs)
-        seg0 = bp.segs[0]
-        init_fn, scan_fn, fini_fn = seg0._fn
+        init_fn, scan_fn, fini_fn = bp.segs[0]._fn
 
         def init_one(dyn):
             dyn = dict(dyn)
@@ -264,12 +279,41 @@ class BankRender:
             return carry
 
         if self.mesh is None:
-            carry = jax.vmap(init_one)(bp.dyn)
-            groups = []
-            for xsg in bp.xs_groups:
-                carry, outs = jax.vmap(scan_fn)(carry, xsg)
-                groups.append(self._mix_local(outs))
-            mix = jnp.concatenate(groups, axis=0)
+            # voice slabs bound live buffer memory (a 1024-wide vmap
+            # of the whole template OOMs the compiler); slabs sum in
+            # ascending-voice order, so ordered_mix stays exact:
+            # per-slab left-to-right + left-to-right across slabs is
+            # one global left-to-right chain
+            V = bp.n_voices
+            vinit, vscan = self._vfns()
+            samples_pv = bp.nb * bp.B
+            slab = max(1, min(V, (1 << 23) // max(samples_pv, 1)))
+            mix = None
+            for s0 in range(0, V - V % slab if V % slab else V, slab):
+                sl = slice(s0, s0 + slab)
+                carry = vinit(st, recs,
+                              jax.tree.map(lambda a: a[sl], bp.dyn))
+                groups = []
+                for xsg in bp.xs_groups:
+                    carry, outs = vscan(
+                        carry, jax.tree.map(lambda a: a[sl], xsg))
+                    groups.append(self._mix_local(outs))
+                part = groups[0] if len(groups) == 1 \
+                    else jnp.concatenate(groups, axis=0)
+                mix = part if mix is None else mix + part
+            rem = V % slab
+            if rem:
+                sl = slice(V - rem, V)
+                carry = jax.vmap(init_one)(
+                    jax.tree.map(lambda a: a[sl], bp.dyn))
+                groups = []
+                for xsg in bp.xs_groups:
+                    carry, outs = jax.vmap(scan_fn)(
+                        carry, jax.tree.map(lambda a: a[sl], xsg))
+                    groups.append(self._mix_local(outs))
+                part = groups[0] if len(groups) == 1 \
+                    else jnp.concatenate(groups, axis=0)
+                mix = part if mix is None else mix + part
             return mix[:self._n_valid()]
 
         vspec = PSpec('voices')

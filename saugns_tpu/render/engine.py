@@ -38,15 +38,24 @@ import jax
 # exact u32/u64 phase arithmetic requires 64-bit integer support
 jax.config.update('jax_enable_x64', True)
 # TPU (Mosaic) compiles of gather-bearing scan bodies are expensive;
-# cache compilations persistently across processes
-_cache_dir = os.environ.get('SAUGNS_TPU_CACHE',
-                            os.path.expanduser('~/.cache/saugns_tpu_xla'))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update('jax_compilation_cache_dir', _cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-except Exception:
-    pass
+# cache compilations persistently across processes -- but only on the
+# TPU platforms: jaxlib 0.9's executable (de)serialization segfaults
+# on some CPU-backend executables of the flat renderer (observed in
+# both put_executable_and_time and get_executable_and_time), and
+# entries written under one backend can also poison another's reads.
+_platform_env = os.environ.get('JAX_PLATFORMS', '') or ''
+if any(p in _platform_env for p in ('tpu', 'axon')):
+    _cache_dir = os.path.join(
+        os.environ.get('SAUGNS_TPU_CACHE',
+                       os.path.expanduser('~/.cache/saugns_tpu_xla')),
+        _platform_env)
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+    except Exception:
+        pass
 
 import jax.numpy as jnp
 

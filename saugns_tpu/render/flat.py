@@ -506,15 +506,29 @@ class FlatSegment:
             st['vdur'] = end_tabs['vdur']
             return st
 
+        def fused_fn(st, recs, xs_list, end_tabs, dyn):
+            # whole segment in one dispatch -- host-call latency per
+            # jit invocation is material through the dev-rig tunnel
+            st, carry = init_fn(st, recs, dyn)
+            outs = []
+            for xsg in xs_list:
+                carry, o = scan_fn(carry, xsg)
+                outs.append(o)
+            st = fini_fn(st, carry, end_tabs, dyn)
+            return st, tuple(outs)
+
         key = (stage_sig, self.B, self.nc, self.gch, srate,
                float(amp_scale), plan.n_ops, plan.n_voices,
                plan.n_recs)
         fns = FlatSegment._cache.get(key)
         if fns is None:
-            fns = (jax.jit(init_fn), jax.jit(scan_fn),
-                   jax.jit(fini_fn))
+            fns = {'init': jax.jit(init_fn), 'scan': jax.jit(scan_fn),
+                   'fini': jax.jit(fini_fn), 'fused': {}}
             FlatSegment._cache[key] = fns
-        return fns
+        if self.ng not in fns['fused']:
+            fns['fused'][self.ng] = jax.jit(fused_fn)
+        self._fused = fns['fused'][self.ng]
+        return (fns['init'], fns['scan'], fns['fini'])
 
     # -- stage helpers (traced inside chunk) -------------------------------
 
@@ -712,17 +726,17 @@ class FlatSegment:
         self._dyn_dev = {k: jax.device_put(v) for k, v in dyn.items()}
 
     def run(self, st, recs):
-        """Render the segment; returns (st', outs (nb, B, 2) f32)."""
-        pieces = []
-        for kind, val, nv in self.stream(st, recs):
-            if kind == 'out':
-                pieces.append(val.reshape(self.gch * self.nc,
-                                          self.B, 2))
-            else:
-                st = val
-        outs = pieces[0] if len(pieces) == 1 \
+        """Render the segment in one device dispatch; returns
+        (st', outs (nb, B, 2) f32). Use stream() for bounded-memory
+        delivery of long segments."""
+        self._upload()
+        st, outs = self._fused(st, recs, tuple(self._xs_groups),
+                               self._end_dev, self._dyn_dev)
+        pieces = [o.reshape(self.gch * self.nc, self.B, 2)
+                  for o in outs]
+        full = pieces[0] if len(pieces) == 1 \
             else jnp.concatenate(pieces, axis=0)
-        return st, outs[:self.nb]
+        return st, full[:self.nb]
 
     def stream(self, st, recs):
         """Yield ('out', outs (gch, nc, B, 2) f32, n_valid_blocks)

@@ -1,10 +1,21 @@
 import os
 
-# Multi-device tests use a virtual 8-device CPU mesh; must be set before
-# jax import anywhere in the test process.
-os.environ.setdefault('XLA_FLAGS',
-                      '--xla_force_host_platform_device_count=8')
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Tests run on the CPU platform with a virtual 8-device mesh for the
+# multi-device cases. Forced (not setdefault): the dev rig exports
+# JAX_PLATFORMS=axon, which would silently move the whole suite onto
+# the shared TPU. Note the JAX_PLATFORMS *env var* path ignores
+# --xla_force_host_platform_device_count (observed on jax 0.9 with
+# the axon plugin installed); jax.config.update('jax_platforms')
+# honors it, so the platform is pinned through the config API.
+os.environ['XLA_FLAGS'] = (
+    '--xla_force_host_platform_device_count=8 '
+    + os.environ.get('XLA_FLAGS', '').replace(
+        '--xla_force_host_platform_device_count=8', '')).strip()
+os.environ.pop('JAX_PLATFORMS', None)
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 import sys  # noqa: E402
 

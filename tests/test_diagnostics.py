@@ -18,7 +18,10 @@ WARNDIR = '/root/reference/devtests/warning'
 
 
 def run_cli(args, extra_env=None):
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # keep subprocess invocations off the shared TPU: these tests
+    # exercise diagnostics, not the engine
+    env = dict(os.environ, PYTHONPATH=REPO,
+               SAUGNS_TPU_BACKEND='cpu', JAX_PLATFORMS='cpu')
     if extra_env:
         env.update(extra_env)
     r = subprocess.run([sys.executable, '-m', 'saugns_tpu.cli'] + args,
