@@ -171,21 +171,25 @@ class BankPlan:
             vb = _bake_view(bake, sl, view)
             fs = FlatSegment(self.plan, view, vb, vb.segments[0],
                              self.srate)
-            fs._upload()
             segs.append(fs)
         self.segs = segs
         f0 = segs[0]
         self.gch, self.ng, self.nc, self.B = (f0.gch, f0.ng, f0.nc,
                                               f0.B)
         self.nb = f0.nb
-        # stacked per-voice tables: groups of {k: (V, gch, ...)}
+        # stacked per-voice tables, assembled host-side then uploaded
+        # in one device_put per array (a device_put per voice costs a
+        # tunnel round trip each -- minutes at 1024 voices)
+        host_groups = [s.host_xs_groups() for s in segs]
         self.xs_groups = []
         for g in range(f0.ng):
             self.xs_groups.append({
-                k: jnp.stack([s._xs_groups[g][k] for s in segs])
-                for k in f0._xs_groups[g]})
-        self.dyn = {k: jnp.stack([s._dyn_dev[k] for s in segs])
-                    for k in f0._dyn_dev}
+                k: jnp.asarray(np.stack(
+                    [hg[g][k] for hg in host_groups]))
+                for k in host_groups[0][g]})
+        host_dyn = [s.host_dyn() for s in segs]
+        self.dyn = {k: jnp.asarray(np.stack(
+            [hd[k] for hd in host_dyn])) for k in host_dyn[0]}
         # record range covering everything up to the main epoch's end
         # of block-0 records (all bank records land at t=0)
         self.rec_hi = int(ep.blk_rec_hi[0])

@@ -670,11 +670,8 @@ class FlatSegment:
 
     # -- public API ---------------------------------------------------------
 
-    def _upload(self):
-        """One-time device upload of the baked tables (the tunnel
-        moves host data at ~33 MB/s; per-render H2D would dominate)."""
-        if getattr(self, '_xs_dev', None) is not None:
-            return
+    def host_xs_groups(self):
+        """Per-chunk-group xs tables as host numpy dicts."""
         xs = {'lens': self.t_lens.astype(np.int32),
               'last_ir': np.ascontiguousarray(self.t_last_ir.T),
               'first_ir': np.ascontiguousarray(self.t_first_ir.T),
@@ -695,12 +692,37 @@ class FlatSegment:
             xs['noff'] = np.ascontiguousarray(
                 self.t_noff.transpose(1, 0, 2))
         gch, ng = self.gch, self.ng
-        self._xs_groups = []
+        out = []
         for g in range(ng):
             sl = slice(g * gch, (g + 1) * gch)
-            self._xs_groups.append(
-                {k: jax.device_put(np.ascontiguousarray(v[sl]))
-                 for k, v in xs.items()})
+            out.append({k: np.ascontiguousarray(v[sl])
+                        for k, v in xs.items()})
+        return out
+
+    def host_dyn(self):
+        """Dynamic-binding arrays as host numpy."""
+        ep = self.ep
+        n_stages = len(ep.stages)
+        sact = np.zeros(max(n_stages, 1), bool)
+        for si in range(n_stages):
+            sact[si] = self.stage_active[si]
+        ntot = np.zeros(max(len(self.noise_sis), 1), np.uint32)
+        for k, si in enumerate(self.noise_sis):
+            ntot[k] = self.noise_total[si]
+        return {'ops': np.asarray(self.stage_op, np.int32)
+                if self.stage_op else np.zeros(1, np.int32),
+                'rec_lo': np.int32(ep.blk_rec_lo[self.lo]),
+                'rec_hi': np.int32(ep.blk_rec_hi[self.lo]),
+                'sact': sact, 'ntot': ntot}
+
+    def _upload(self):
+        """One-time device upload of the baked tables (the tunnel
+        moves host data at ~33 MB/s; per-render H2D would dominate)."""
+        if getattr(self, '_xs_dev', None) is not None:
+            return
+        self._xs_groups = [
+            {k: jax.device_put(v) for k, v in g.items()}
+            for g in self.host_xs_groups()]
         seg = self.seg
         end_tabs = {'lv0': seg.end_lv0, 'lvt': seg.end_lvt,
                     'lpos': seg.end_lpos, 'lend': seg.end_lend,
@@ -710,25 +732,25 @@ class FlatSegment:
                     'vdur': seg.end_vdur}
         self._end_dev = {k: jax.device_put(v)
                          for k, v in end_tabs.items()}
-        ep = self.ep
-        n_stages = len(ep.stages)
-        sact = np.zeros(max(n_stages, 1), bool)
-        for si in range(n_stages):
-            sact[si] = self.stage_active[si]
-        ntot = np.zeros(max(len(self.noise_sis), 1), np.uint32)
-        for k, si in enumerate(self.noise_sis):
-            ntot[k] = self.noise_total[si]
-        dyn = {'ops': np.asarray(self.stage_op, np.int32)
-               if self.stage_op else np.zeros(1, np.int32),
-               'rec_lo': np.int32(ep.blk_rec_lo[self.lo]),
-               'rec_hi': np.int32(ep.blk_rec_hi[self.lo]),
-               'sact': sact, 'ntot': ntot}
-        self._dyn_dev = {k: jax.device_put(v) for k, v in dyn.items()}
+        self._dyn_dev = {k: jax.device_put(v)
+                         for k, v in self.host_dyn().items()}
 
     def run(self, st, recs):
         """Render the segment in one device dispatch; returns
         (st', outs (nb, B, 2) f32). Use stream() for bounded-memory
         delivery of long segments."""
+        import os
+        if os.environ.get('SAUGNS_TPU_FUSED', '1') != '1':
+            pieces = []
+            for kind, val, nv in self.stream(st, recs):
+                if kind == 'out':
+                    pieces.append(val.reshape(self.gch * self.nc,
+                                              self.B, 2))
+                else:
+                    st = val
+            full = pieces[0] if len(pieces) == 1 \
+                else jnp.concatenate(pieces, axis=0)
+            return st, full[:self.nb]
         self._upload()
         st, outs = self._fused(st, recs, tuple(self._xs_groups),
                                self._end_dev, self._dyn_dev)

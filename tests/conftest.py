@@ -35,3 +35,17 @@ def reference_dir():
     if not has_reference():
         pytest.skip('reference corpus not available')
     return REFERENCE
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between tests. jaxlib 0.9's CPU
+    backend segfaults inside backend_compile_and_load after enough
+    flat-renderer executables accumulate in one process (reproduced
+    deterministically with test_engine + test_engine_corpus in
+    sequence; each module passes alone). Clearing after every test
+    keeps the live-executable count bounded; programs are compiled
+    once per test anyway, so the cost is minor."""
+    yield
+    import jax
+    jax.clear_caches()
