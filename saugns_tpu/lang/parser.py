@@ -1259,11 +1259,6 @@ class Parser:
         sc = self.sc
         check_unset = sc.tryc('?')
         var = scan_sym(sc, SYM_VAR, None, False)
-        # the reference's ws-skip/tryc unget sequence leaves the live
-        # frame at the variable name's start; capture it for the
-        # unset-variable notices (measured: ref prints the name's
-        # start column)
-        var_sf = sc._warn_frames[-1].copy() if sc._warn_frames else None
         was_unset = bool(check_unset and var is not None and
                          var.data_use != DATA_NUM)
         mark_fail = was_unset
@@ -1289,7 +1284,7 @@ class Parser:
             if mark_fail:
                 self.script_fail = True
                 sc.s_quiet = True
-                sc.notice(var_sf, "usage: variable '$%s' in script wasn't "
+                sc.notice(None, "usage: variable '$%s' in script wasn't "
                           "set;\n\ttry passing it to the script as an "
                           "option, \"%s=...\""
                           % (var.sstr.key, var.sstr.key))

@@ -294,7 +294,25 @@ class Scanner:
         if len(self._warn_frames) > 64:
             del self._warn_frames[0]
 
+    def _has_filter(self, c: str) -> bool:
+        """Whether ``c`` has a scan filter installed -- the C filter
+        table maps whitespace, comment openers, EOF/specials and
+        non-printable bytes to filter functions; printable chars have
+        NULL entries (sau/scanner.c:360-459)."""
+        if c in (' ', '\t', '\n', '\r', '/', '#'):
+            return True
+        if c == SCAN_EOF:
+            return True
+        o = ord(c)
+        return o < 0x20 or o > 0x7e
+
     def retc(self) -> str:
+        """Peek the next filtered character. Unfiltered characters are
+        returned without any frame/position movement (sauScanner_retc,
+        sau/scanner.c:612-620: a bare sauFile_RETC when no filter)."""
+        c = self.file_retc()
+        if not self._has_filter(c):
+            return c
         c = self.getc()
         self.ungetc()
         return c
@@ -318,6 +336,16 @@ class Scanner:
         self._pending_regets.append((rec[1] - 1, rec[1], rec[2]))
 
     def tryc(self, testc: str) -> bool:
+        """Advance past the next character iff it matches. For
+        unfiltered characters a mismatch moves nothing at all
+        (sauScanner_tryc, sau/scanner.c:685-705: bare RETC compare);
+        only filtered characters do a get + unget on mismatch."""
+        c = self.file_retc()
+        if not self._has_filter(c):
+            if c != testc:
+                return False
+            self.getc()
+            return True
         c = self.getc()
         if c != testc:
             self.ungetc()
@@ -345,11 +373,19 @@ class Scanner:
         return c
 
     def skipws(self) -> str:
-        """Skip whitespace before the next character (sau/scanner.c:895-903)."""
+        """Skip whitespace before the next character
+        (sauScanner_skipws, sau/scanner.c:895-903). The whole
+        whitespace run plus the following character is consumed as ONE
+        WS_NONE-filtered get, then ungot -- so the live frame rolls
+        back to the pre-whitespace frame (the undo-ring entry), which
+        is where warnings fired right after a skipws point."""
         c = self.retc()
-        while c == SCAN_SPACE or c == SCAN_LNBRK:
-            self.getc()
-            c = self.retc()
+        if c == SCAN_SPACE or c == SCAN_LNBRK:
+            old = self.ws_level
+            self.ws_level = WS_NONE
+            c = self.getc()
+            self.ws_level = old
+            self.ungetc()
         return c
 
     # -- number reads (file level; sau/file.c:330-447) ---------------------

@@ -12,10 +12,13 @@ scaling axes for SAU rendering are:
   parallel scan over the mesh's time axis.
 - **scripts** (batch): independent renders, trivially sharded.
 
-``render_fm_bank`` below is the mesh-parallel bulk-polyphony kernel:
-an FM voice bank (carrier + modulator per voice, swept freq/amp/pan)
-with both axes active. It is the multi-chip compile target used by
-``__graft_entry__.dryrun_multichip`` and the poly-stress benchmark.
+``render_fm_bank`` below is a closed-form FM voice bank (carrier +
+modulator per voice, swept freq/amp/pan) with both mesh axes active --
+the time-axis (sequence-parallel) scaling demo: per-chunk phasor
+offsets derive from the global start sample, so the time axis shards
+with no cross-device scan. Rendering of real compiled Programs over a
+mesh lives in ``parallel.voicebank`` (which also backs
+``__graft_entry__.dryrun_multichip`` and the poly1024 benchmark).
 """
 from __future__ import annotations
 

@@ -81,6 +81,29 @@ def test_unset_required_variable_notice_and_exit():
     assert rc == 0
 
 
+def test_unset_variable_notice_position_no_trailing_ws():
+    # no whitespace after the name: the reference's live scan frame
+    # stays at the name's END column (no skipws unget rolls it back,
+    # sau/scanner.c:895-903 + parser.c:1870-1877); measured col 22
+    rc, out, err = run_cli(['-cd', '-e', 'Wsin f[$?undefined_var]'])
+    assert err == (
+        "<string>:1:22: usage: variable '$undefined_var' in script "
+        "wasn't set;\n"
+        "\ttry passing it to the script as an option, "
+        "\"undefined_var=...\"\n"
+        "<string>: failed requirement, script will be skipped\n")
+    assert rc == 0
+
+
+def test_variable_reference_does_nothing_position():
+    # whitespace after the name: skipws consumes the run then ungets,
+    # restoring the undo-ring frame = the name's column; measured 1:2
+    rc, out, err = run_cli(['-cd', '-e', '$x 5'])
+    assert err.startswith(
+        "<string>:1:2: warning: variable '$x' reference does nothing\n")
+    assert rc == 0
+
+
 def test_unset_variable_fallback_notice():
     rc, out, err = run_cli(['-cd', '-e', '$?x=5 Wsin f$x'])
     assert err == (
