@@ -287,7 +287,20 @@ def play(prgs, srate, options, wav_path):
     if not player.ok:
         player.finish()
         return False
-    for prg in prgs:
+    # multi-script sharding: independent renders overlap across
+    # devices (the reference's serial loop, saugns.c:648-659, is
+    # "trivially shardable" -- SURVEY §2.5); sink writes stay in
+    # program order, so output bytes are identical
+    queue = None
+    if not (options & OPT_MODE_CHECK) and not player.split_gen:
+        try:
+            from .parallel.scripts import ShardedRenderQueue
+            queue = ShardedRenderQueue(
+                prgs, player.srate,
+                not (options & OPT_AUDIO_MONO))
+        except Exception:
+            queue = None
+    for i, prg in enumerate(prgs):
         if prg is None:
             continue
         if options & OPT_PRINT_INFO:
@@ -295,8 +308,11 @@ def play(prgs, srate, options, wav_path):
         if options & OPT_PRINT_VERBOSE:
             print(("Checked \"%s\"." if options & OPT_MODE_CHECK
                    else "Playing \"%s\".") % prg.name)
-        if not player.run(prg):
+        gen = queue.generator(i) if queue is not None else None
+        if not player.run(prg, gen=gen):
             status = False
+    if queue is not None:
+        queue.close()
     if not player.finish():
         status = False
     return status

@@ -97,12 +97,17 @@ class Player:
             self.ad_buf = np.zeros(self.ad_ch_len * self.ch_count,
                                    dtype=np.int16)
 
-    def run(self, prg):
+    def run(self, prg, gen=None):
+        """Render one program into the sinks. ``gen``: optional
+        pre-made run()-compatible generator (the multi-script sharding
+        path pre-renders programs on other devices; output order and
+        bytes are unchanged)."""
         if self.options & OPT_MODE_CHECK:
             return True
         stereo = not (self.options & OPT_AUDIO_MONO)
         use_stdout = (self.options & OPT_AUDIO_STDOUT) != 0
-        gen = _make_generator(prg, self.srate)
+        if gen is None:
+            gen = _make_generator(prg, self.srate)
         ad_gen = _make_generator(prg, self.ad_srate) \
             if self.split_gen else None
         error = False

@@ -196,8 +196,12 @@ class BankPlan:
         return self
 
 
-def _bake_view(bake, sl, view):
-    """Slice an EpochBake down to one voice's stages/instances."""
+def _bake_view(bake, sl, view, src_seg=None):
+    """Slice an EpochBake down to one voice's stages/instances.
+    ``src_seg``: the segment to mirror (default: the single segment
+    of a bank epoch); its block range and end-state tables carry
+    over -- end tables are global (n_ops ...) and identical across
+    voice views."""
     from ..render.hostsim import EpochBake, SegBake
     vb = EpochBake(eligible=True)
     vb.lens = np.asarray(bake.lens)[:, sl.i_lo:sl.i_hi]
@@ -206,8 +210,10 @@ def _bake_view(bake, sl, view):
     for si in range(sl.v_lo, sl.v_hi):
         if si in bake.stages:
             vb.stages[si - sl.v_lo] = bake.stages[si]
-    seg = SegBake(lo=0, hi=len(view.blk_len), eligible=True)
-    src = bake.segments[0]
+    src = bake.segments[0] if src_seg is None else src_seg
+    seg = SegBake(lo=src.lo if src_seg is not None else 0,
+                  hi=src.hi if src_seg is not None
+                  else len(view.blk_len), eligible=True)
     for k in ('end_lv0', 'end_lvt', 'end_lpos', 'end_lend',
               'end_ltype', 'end_lflags', 'end_time', 'end_tinf',
               'end_vdur'):
@@ -292,6 +298,10 @@ class BankRender:
             vinit, vscan = self._vfns()
             samples_pv = bp.nb * bp.B
             slab = max(1, min(V, (1 << 23) // max(samples_pv, 1)))
+            # shrink to a divisor of V: a remainder slab would mint a
+            # second (differently-shaped) executable for no gain
+            while V % slab:
+                slab -= 1
             mix = None
             for s0 in range(0, V - V % slab if V % slab else V, slab):
                 sl = slice(s0, s0 + slab)

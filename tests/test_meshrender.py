@@ -1,0 +1,121 @@
+"""Mesh-parallel rendering of heterogeneous programs (meshrender.py)
+and multi-script sharding (parallel/scripts.py).
+
+Bit-identity contract: the grouped, voice-sharded flat render must
+equal the host CPU backend (itself byte-identical to the reference
+binary) exactly -- the mix is summed in ascending voice order, the
+same f32 chain as the engine's VMIX stages."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from saugns_tpu.lang.program import ScriptArg, build_program
+from saugns_tpu.parallel.meshrender import MeshRender
+from saugns_tpu.render.cpu import Generator as CpuGen
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# three structurally different voices: FM wave, noise, rasg
+HETERO = ("Wsin f440 t0.3 a.4 p[Wsin r2 a.5]\n"
+          "Nwh a0.2 t0.25\n"
+          "Rlin f200 t0.2 a.3\n")
+
+SRATE = 6000
+
+
+def _cpu_ref(prg, srate):
+    g = CpuGen(prg, srate)
+    buf = np.zeros(4096 * 2, np.int16)
+    chunks = []
+    while True:
+        more, n = g.run(buf, 4096, True)
+        chunks.append(buf[:n * 2].copy())
+        if not more:
+            break
+    return np.concatenate(chunks).reshape(-1, 2)
+
+
+def _build(src, is_path=False):
+    return build_program(ScriptArg(str=src, is_path=is_path,
+                                   no_time=True, predef=[]))
+
+
+def test_hetero_single_device_bit_identical():
+    prg = _build(HETERO)
+    assert prg.vo_count == 3
+    mr = MeshRender(prg, SRATE, mesh=None)
+    # three distinct schedule signatures -> three groups
+    n_groups = len(mr.epoch_segs[-1][1][0][1])
+    assert n_groups == 3
+    mix = mr.render_i16()
+    ref = _cpu_ref(prg, SRATE)
+    assert mix.shape == ref.shape
+    assert np.array_equal(mix, ref)
+
+
+def test_hetero_mesh8_bit_identical():
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('voices',))
+    prg = _build(HETERO)
+    mr = MeshRender(prg, SRATE, mesh=mesh)
+    mix = mr.render_i16()
+    ref = _cpu_ref(prg, SRATE)
+    assert np.array_equal(mix, ref)
+
+
+def test_corpus_multivoice_mesh_bit_identical():
+    """A real corpus script (multi-epoch, heterogeneous voices) over
+    the 8-device mesh equals the reference-exact CPU backend."""
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    path = '/root/reference/examples/tests/defaulttime.sau'
+    if not os.path.exists(path):
+        pytest.skip('reference corpus not available')
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('voices',))
+    prg = _build(path, is_path=True)
+    assert prg.vo_count == 2
+    mr = MeshRender(prg, SRATE, mesh=mesh)
+    mix = mr.render_i16()
+    ref = _cpu_ref(prg, SRATE)
+    assert np.array_equal(mix, ref)
+
+
+def test_selfmod_program_rejected():
+    prg = _build("Wsin f100 t0.2 p[Wsin r2 p.s.5]")
+    with pytest.raises(ValueError):
+        MeshRender(prg, SRATE)
+
+
+def test_multi_script_sharding_output_identical(tmp_path):
+    """CLI rendering of a script list with sharding on vs off produces
+    byte-identical WAV output (order-preserving sink writes)."""
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    scripts = ['/root/reference/examples/tests/defaulttime.sau',
+               '/root/reference/devtests/voice-reuse.sau']
+    for s in scripts:
+        if not os.path.exists(s):
+            pytest.skip('reference corpus not available')
+    outs = []
+    for shard in ('0', '1'):
+        out = str(tmp_path / ('out%s.wav' % shard))
+        env = dict(os.environ, PYTHONPATH=REPO,
+                   SAUGNS_TPU_SHARD_SCRIPTS=shard,
+                   XLA_FLAGS='--xla_force_host_platform_device_count=8',
+                   JAX_PLATFORMS='cpu')
+        r = subprocess.run(
+            [sys.executable, '-m', 'saugns_tpu.cli', '-d', '-r6000',
+             '-m', '-o', out] + scripts,
+            capture_output=True, env=env, timeout=600, cwd=REPO)
+        assert r.returncode == 0, r.stderr.decode()
+        outs.append(open(out, 'rb').read())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 44
