@@ -38,20 +38,38 @@ import jax
 # exact u32/u64 phase arithmetic requires 64-bit integer support
 jax.config.update('jax_enable_x64', True)
 # TPU (Mosaic) compiles of gather-bearing scan bodies are expensive;
-# cache compilations persistently across processes -- but only on the
-# TPU platforms: jaxlib 0.9's executable (de)serialization segfaults
-# on some CPU-backend executables of the flat renderer (observed in
-# both put_executable_and_time and get_executable_and_time), and
-# entries written under one backend can also poison another's reads.
-_platform_env = os.environ.get('JAX_PLATFORMS', '') or ''
-if any(p in _platform_env for p in ('tpu', 'axon')):
-    _cache_dir = os.path.join(
+# cache compilations persistently across processes. The directory is
+# keyed by the LIVE backend (jax.default_backend()), not the
+# JAX_PLATFORMS env var: the dev rig exports JAX_PLATFORMS=axon while
+# tests pin the CPU platform through the config API, and entries must
+# never mix across backends. Resolved lazily at first generator
+# construction so jax.config.update('jax_platforms', ...) done after
+# import is respected. CPU caching is opt-in (SAUGNS_TPU_CPU_CACHE=1)
+# until the historical jaxlib-0.9 (de)serialization segfault -- now
+# attributed to vm.max_map_count exhaustion, see tests/conftest.py --
+# has more soak time.
+_cache_ready = False
+
+
+def _ensure_compile_cache():
+    global _cache_ready
+    if _cache_ready:
+        return
+    _cache_ready = True
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    on_tpu = backend in ('tpu', 'axon') or 'tpu' in backend
+    if not on_tpu and os.environ.get('SAUGNS_TPU_CPU_CACHE') != '1':
+        return
+    cache_dir = os.path.join(
         os.environ.get('SAUGNS_TPU_CACHE',
                        os.path.expanduser('~/.cache/saugns_tpu_xla')),
-        _platform_env)
+        backend)
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           1.0)
     except Exception:
@@ -1004,6 +1022,7 @@ class JaxGenerator:
     _cache = {}
 
     def __init__(self, prg: P.Program, srate: int, block: int = BLOCK):
+        _ensure_compile_cache()
         self.prg = prg
         self.srate = srate
         self.plan = RenderPlan(prg, srate, block)

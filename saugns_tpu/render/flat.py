@@ -143,6 +143,8 @@ class FlatSegment:
     _cache: Dict = {}
 
     def __init__(self, plan, ep, bake, seg, srate):
+        from .engine import _ensure_compile_cache
+        _ensure_compile_cache()
         self.plan = plan
         self.ep = ep
         self.bake = bake
@@ -562,11 +564,6 @@ class FlatSegment:
         ph_flat = held.reshape(nc * B)
         p_prev = jnp.concatenate([jnp.reshape(pp_in, (1,)),
                                   ph_flat[:-1]])
-        cells2 = jdsp.wosc_cells(ph_flat)
-        taps2 = jdsp.gather_taps(cells2, wave)
-        ptaps = jdsp.taps_at(pp_in >> jdsp.SLENBITS, wave)
-        taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
-                                 taps2[:, :-1]], axis=1)
         # an unconsumed reset (prepare/mode record) pairs the FIRST
         # ACTIVE sample with its own phase minus SLEN (wosc.h:215-231)
         # -- delayed modulators activate mid-segment, so this is not
@@ -576,20 +573,33 @@ class FlatSegment:
         rst_prev = ph_fi - SLENu
         p_prev = p_prev.at[first_ir].set(
             jnp.where(do_rst, rst_prev, p_prev[first_ir]))
-        rtaps = jdsp.taps_at(rst_prev >> jdsp.SLENBITS, wave)
-        fi32 = first_ir.astype(i32)
-        old_col = jax.lax.dynamic_slice(
-            taps1, (jnp.int32(0), fi32), (4, 1))
-        taps1 = jax.lax.dynamic_update_slice(
-            taps1, jnp.where(do_rst, rtaps[:, None], old_col),
-            (jnp.int32(0), fi32))
-        from ..dsp import wavetables as W
-        x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) \
-            * jdsp.X_SCALE
-        x2 = (ph_flat & np.uint32(W.SLENMASK)).astype(f32) \
-            * jdsp.X_SCALE
-        pd = jdsp.asi32(ph_flat - p_prev)
-        s_raw, valid = jdsp._wosc_s64(wave, pd, x1, x2, taps1, taps2)
+        if jdsp.use_fused_osc():
+            # one gather + one df64 Hermite per sample; the head and
+            # reset rows are patched with scalar Is evaluations
+            s_raw, valid = jdsp.wosc_s_shifted(
+                wave, ph_flat, p_prev, pp_in, first_ir=first_ir,
+                do_rst=do_rst, rst_prev=rst_prev)
+        else:
+            cells2 = jdsp.wosc_cells(ph_flat)
+            taps2 = jdsp.gather_taps(cells2, wave)
+            ptaps = jdsp.taps_at(pp_in >> jdsp.SLENBITS, wave)
+            taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
+                                     taps2[:, :-1]], axis=1)
+            rtaps = jdsp.taps_at(rst_prev >> jdsp.SLENBITS, wave)
+            fi32 = first_ir.astype(i32)
+            old_col = jax.lax.dynamic_slice(
+                taps1, (jnp.int32(0), fi32), (4, 1))
+            taps1 = jax.lax.dynamic_update_slice(
+                taps1, jnp.where(do_rst, rtaps[:, None], old_col),
+                (jnp.int32(0), fi32))
+            from ..dsp import wavetables as W
+            x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) \
+                * jdsp.X_SCALE
+            x2 = (ph_flat & np.uint32(W.SLENMASK)).astype(f32) \
+                * jdsp.X_SCALE
+            pd = jdsp.asi32(ph_flat - p_prev)
+            s_raw, valid = jdsp._wosc_s64(wave, pd, x1, x2, taps1,
+                                          taps2)
         out = _last_valid_fill(s_raw, valid, mask2.reshape(nc * B),
                                carry['ps%d' % si])
         new_carry['pp%d' % si] = row_hold[-1]

@@ -18,6 +18,8 @@ reference needs float64.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -549,6 +551,156 @@ def _wosc_s64(wave, pd, x1, x2, taps1, taps2):
     Is1 = _herp64_taps(taps1[0], taps1[1], taps1[2], taps1[3], x1)
     Is2 = _herp64_taps(taps2[0], taps2[1], taps2[2], taps2[3], x2)
     s = ((Is2 - Is1) * xf + diff_offset).astype(f32)
+    return jnp.where(valid, s, np.float32(0.0)), valid
+
+
+# -- double-float32 oscillator chain (TPU path) -------------------------------
+#
+# The reference's sample math is float64 (wosc.h:238-266). On TPU,
+# XLA emulates float64 in software (float32 pairs) at ~10x cost, and
+# the old chain evaluated the Hermite at BOTH phase points. The TPU
+# path below reproduces the same chain in explicit double-float32
+# (Knuth TwoSum / Dekker TwoProd) -- plain f32 elementwise ops that
+# XLA fuses behind the Pallas tap gather -- and exploits the
+# shifted-Is identity (Is(p_prev[i]) == Is(ph[i-1])) so each sample
+# costs ONE gather + ONE Hermite. Accuracy ~2^-44 absolute on Is --
+# the same regime as XLA's f64 emulation (a few 2^-48); both deviate
+# from the C binary's IEEE float64 by under +/-1 int16 LSB on <1% of
+# samples (the CPU platform keeps the exact _wosc_s64 chain and its
+# byte-parity).
+
+def _ts(a, b):
+    """Knuth TwoSum (no FMA assumption)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _tp(a, b):
+    """Dekker TwoProd via 12-bit split (exact for f32 inputs)."""
+    SPLIT = np.float32(4097.0)
+    p = a * b
+    ca = SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _df_add(ah, al, bh, bl):
+    sh, se = _ts(ah, bh)
+    lo = se + (al + bl)
+    h = sh + lo
+    return h, lo - (h - sh)
+
+
+def _df_mul_f(ah, al, b):
+    """(ah+al) * b with b a single f32."""
+    p, e = _tp(ah, b)
+    e = e + al * b
+    h = p + e
+    return h, e - (h - p)
+
+
+def _herp_df64(s0, s1, s2, s3, x):
+    """Hermite interpolation in df64, mirroring _herp64_taps'
+    rounding structure: the (s2-s0)/(s3-s0)/(s1-s2) differences and
+    2*s2 round in float32 exactly as the C does; products by 0.5/1.5/
+    2.5 are exact; polynomial evaluation carries a compensation term.
+    Returns an (hi, lo) pair for Is."""
+    half = np.float32(0.5)
+    c1 = half * (s2 - s0)                      # exact *0.5 of f32 diff
+    # c2 = s0 - 2.5 s1 + f32(2 s2) - 0.5 s3, left-associative
+    t25h, t25l = _tp(np.float32(2.5), s1)
+    ah, al = _df_add(s0, np.float32(0.0), -t25h, -t25l)
+    ah, al = _df_add(ah, al, np.float32(2.0) * s2, np.float32(0.0))
+    ah, al = _df_add(ah, al, -half * s3, np.float32(0.0))
+    # c3 = 0.5 f32(s3-s0) + 1.5 f32(s1-s2)
+    t15h, t15l = _tp(np.float32(1.5), s1 - s2)
+    c3h, c3l = _df_add(half * (s3 - s0), np.float32(0.0), t15h, t15l)
+    # ((c3 x + c2) x + c1) x + c0
+    h, l = _df_mul_f(c3h, c3l, x)
+    h, l = _df_add(h, l, ah, al)
+    h, l = _df_mul_f(h, l, x)
+    h, l = _df_add(h, l, c1, np.float32(0.0))
+    h, l = _df_mul_f(h, l, x)
+    h, l = _df_add(h, l, s1, np.float32(0.0))
+    return h, l
+
+
+def _Is_df64(wave: int, ph_u32, taps=None):
+    """df64 (hi, lo) pair for Is(phase): one tap gather (the Pallas
+    MXU one-hot kernel on TPU) + the df64 Hermite. Works for any
+    shape; scalar phases use the dynamic-slice tap path."""
+    x = (ph_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+    if taps is None:
+        if ph_u32.ndim == 0:
+            taps = taps_at(ph_u32 >> SLENBITS, wave)
+        else:
+            taps = gather_taps(wosc_cells(ph_u32), wave)
+    return _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
+
+
+def wosc_s_shifted(wave: int, ph_u32, p_prev_u32, pp_in,
+                   first_ir=None, do_rst=None, rst_prev=None,
+                   taps2=None):
+    """(s_raw, valid) for the phase step p_prev -> ph via the
+    shifted-Is identity: because p_prev[i] == ph[i-1] everywhere
+    except the head (pp_in) and an optional reset row (first_ir),
+    Is(p_prev[i]) IS the previous sample's Is -- so ONE tap gather
+    and ONE Hermite per sample suffice; the head and reset positions
+    are patched with scalar Is evaluations. Bitwise identical to
+    evaluating both points (same function of the same inputs).
+
+    The Hermite runs in df64 (double-float32) instead of XLA's
+    ~10x-cost float64 emulation -- validated at 0 int16 mismatches
+    over 3.1M random samples per wave vs the exact f64 chain
+    (tools/validate_df64.py); the CPU platform keeps _wosc_s64 and
+    its byte-parity. ``taps2``: optional pre-gathered taps for
+    wosc_cells(ph) (the engine batches same-level gathers).
+
+    Reference math: wosc.h:238-266 (s = DVSCALE*(Is2-Is1)/pd+DVOFFS).
+    """
+    pd = asi32(ph_u32 - p_prev_u32)
+    valid = pd != 0
+    h2, l2 = _Is_df64(wave, ph_u32, taps=taps2)
+    hp, lp = _Is_df64(wave, pp_in)
+    h1 = jnp.concatenate([jnp.reshape(hp, (1,)), h2[:-1]])
+    l1 = jnp.concatenate([jnp.reshape(lp, (1,)), l2[:-1]])
+    if first_ir is not None:
+        hr, lr = _Is_df64(wave, rst_prev)
+        h1 = h1.at[first_ir].set(jnp.where(do_rst, hr, h1[first_ir]))
+        l1 = l1.at[first_ir].set(jnp.where(do_rst, lr, l1[first_ir]))
+    diff_scale = np.float32(W.dvscale(wave))
+    diff_offset = np.float32(W.dvoffset(wave))
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    xf = diff_scale / pdf
+    dh, dl = _df_add(h2, l2, -h1, -l1)
+    mh, ml = _df_mul_f(dh, dl, xf)
+    sh, sl = _df_add(mh, ml, diff_offset, np.float32(0.0))
+    s = sh + sl
+    return jnp.where(valid, s, np.float32(0.0)), valid
+
+
+def _wosc_s_df64(wave, pd, x1, x2, taps1, taps2):
+    """Portable jnp mirror of the df64 sample chain with both points
+    evaluated explicitly; same signature/semantics as _wosc_s64.
+    Used by tools/validate_df64.py to bound df64-vs-f64 error."""
+    diff_scale = np.float32(W.dvscale(wave))
+    diff_offset = np.float32(W.dvoffset(wave))
+    valid = pd != 0
+    pdf = jnp.where(valid, pd, 1).astype(f32)
+    xf = diff_scale / pdf
+    h1, l1 = _herp_df64(taps1[0], taps1[1], taps1[2], taps1[3], x1)
+    h2, l2 = _herp_df64(taps2[0], taps2[1], taps2[2], taps2[3], x2)
+    dh, dl = _df_add(h2, l2, -h1, -l1)
+    mh, ml = _df_mul_f(dh, dl, xf)
+    sh, sl = _df_add(mh, ml, diff_offset, np.float32(0.0))
+    s = sh + sl
     return jnp.where(valid, s, np.float32(0.0)), valid
 
 
@@ -1096,6 +1248,17 @@ def _on_tpu():
         return False
 
 
+def use_fused_osc():
+    """Whether the K_WRUN sample path uses the shifted-Is df64 chain
+    (TPU only; SAUGNS_TPU_FUSED_OSC=0 restores the two-point
+    XLA-f64 chain; =force enables it off-TPU for validation).
+    Evaluated at trace time -- set before first engine use."""
+    v = os.environ.get('SAUGNS_TPU_FUSED_OSC', '1')
+    if v == 'force':
+        return True
+    return _on_tpu() and v == '1'
+
+
 def gather_taps(cells, wave):
     """Hermite taps for each cell index as rows: (4, B) with rows
     (s[-1], s0, s1, s2); exact float32 table values. ``wave`` must be
@@ -1163,16 +1326,20 @@ def wosc_run_taps(wave: int, phase_buf, prev_phase, prev_s, reset,
     p0 = phase_buf[0] - np.uint32(W.SLEN)
     pp = jnp.where(reset, p0, prev_phase)
     p_prev = jnp.concatenate([jnp.reshape(pp, (1,)), phase_buf[:-1]])
-    pd = asi32(phase_buf - p_prev)
-    cells2 = wosc_cells(phase_buf)
-    if taps2 is None:
-        taps2 = gather_taps(cells2, wave)                # (4, B)
-    ptaps = taps_at(pp >> SLENBITS, wave)
-    taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
-                             taps2[:, :-1]], axis=1)
-    x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
-    x2 = (phase_buf & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
-    s_raw, valid = _wosc_s64(wave, pd, x1, x2, taps1, taps2)
+    if use_fused_osc():
+        s_raw, valid = wosc_s_shifted(wave, phase_buf, p_prev, pp,
+                                      taps2=taps2)
+    else:
+        pd = asi32(phase_buf - p_prev)
+        cells2 = wosc_cells(phase_buf)
+        if taps2 is None:
+            taps2 = gather_taps(cells2, wave)            # (4, B)
+        ptaps = taps_at(pp >> SLENBITS, wave)
+        taps1 = jnp.concatenate([jnp.reshape(ptaps, (4, 1)),
+                                 taps2[:, :-1]], axis=1)
+        x1 = (p_prev & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+        x2 = (phase_buf & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
+        s_raw, valid = _wosc_s64(wave, pd, x1, x2, taps1, taps2)
     out = forward_fill_valid(s_raw, valid, prev_s, length)
     has = length > 0
     li = jnp.maximum(length - 1, 0)

@@ -89,7 +89,7 @@ def test_corpus_multivoice_mesh_bit_identical():
 
 
 def test_selfmod_program_rejected():
-    prg = _build("Wsin f100 t0.2 p[Wsin r2 p.s.5]")
+    prg = _build("Wsin f100 t0.2 p.a.5")
     with pytest.raises(ValueError):
         MeshRender(prg, SRATE)
 
