@@ -44,10 +44,11 @@ jax.config.update('jax_enable_x64', True)
 # tests pin the CPU platform through the config API, and entries must
 # never mix across backends. Resolved lazily at first generator
 # construction so jax.config.update('jax_platforms', ...) done after
-# import is respected. CPU caching is opt-in (SAUGNS_TPU_CPU_CACHE=1)
-# until the historical jaxlib-0.9 (de)serialization segfault -- now
-# attributed to vm.max_map_count exhaustion, see tests/conftest.py --
-# has more soak time.
+# import is respected. CPU caching defaults ON (opt out with
+# SAUGNS_TPU_CPU_CACHE=0): the historical jaxlib-0.9
+# (de)serialization segfault traced to vm.max_map_count exhaustion,
+# which tests/conftest.py bounds, so cold-process renders of
+# already-seen schedules skip XLA entirely.
 _cache_ready = False
 
 
@@ -61,7 +62,8 @@ def _ensure_compile_cache():
     except Exception:
         return
     on_tpu = backend in ('tpu', 'axon') or 'tpu' in backend
-    if not on_tpu and os.environ.get('SAUGNS_TPU_CPU_CACHE') != '1':
+    if not on_tpu and os.environ.get('SAUGNS_TPU_CPU_CACHE',
+                                     '1') == '0':
         return
     cache_dir = os.path.join(
         os.environ.get('SAUGNS_TPU_CACHE',
@@ -296,9 +298,16 @@ def _line_copy_scalar(cur, rflags, rv0, rvt, rend, rtype, present):
     return out
 
 
-def apply_records(st, lo, hi, recs):
+def apply_records(st, lo, hi, recs, device_cols_only=False):
     """Apply update records [lo, hi) (handle_event + update_op,
-    sau/generator.c:245-377) to the packed state."""
+    sau/generator.c:245-377) to the packed state.
+
+    ``device_cols_only``: apply only the device-authoritative columns
+    (phase/cycle/reset/noise counters and the full prepare row).  The
+    flat renderer's fini_fn overwrites every host-authoritative column
+    (line slots, time, vdur) from the host simulation's end tables, so
+    tracing the 6-slot sauLine_copy machinery (~2700 jaxpr eqns, ~70%
+    of a flat executable) into its init_fn is pure compile cost."""
 
     def body(ri, st):
         g = lambda k: recs[k][ri]
@@ -383,7 +392,9 @@ def apply_records(st, lo, hi, recs):
 
         # line copies: freq/freq2/pm_a gated osc-type; amp/amp2/pan
         is_osc = is_wave | is_rasg
-        for slot in (L_FREQ, L_FREQ2, L_PMA, L_AMP, L_AMP2, L_PAN):
+        slots = () if device_cols_only \
+            else (L_FREQ, L_FREQ2, L_PMA, L_AMP, L_AMP2, L_PAN)
+        for slot in slots:
             gate_l = (is_osc if slot in (L_FREQ, L_FREQ2, L_PMA)
                       else True) & g('l%d_present' % slot) & is_op
             cur = {'v0': fr[C_LV0 + slot], 'vt': fr[C_LVT + slot],
@@ -401,24 +412,27 @@ def apply_records(st, lo, hi, recs):
             ir = ir.at[C_LTYPE + slot].set(newl['type'])
             ir = ir.at[C_LFLAGS + slot].set(newl['flags'])
 
-        # time
-        ir = ir.at[C_TIME].set(jnp.where(has_time, g('time_v'),
-                                         ir[C_TIME]))
-        ir = ir.at[C_TINF].set(jnp.where(
-            has_time, g('time_implicit').astype(i32), ir[C_TINF]))
+        if not device_cols_only:
+            # time
+            ir = ir.at[C_TIME].set(jnp.where(has_time, g('time_v'),
+                                             ir[C_TIME]))
+            ir = ir.at[C_TINF].set(jnp.where(
+                has_time, g('time_implicit').astype(i32), ir[C_TINF]))
 
         st['sf'] = st['sf'].at[op].set(jnp.where(is_op, fr,
                                                  st['sf'][op]))
         st['si'] = st['si'].at[op].set(jnp.where(is_op, ir,
                                                  st['si'][op]))
 
-        # voice record: duration = carrier time (set_voice_duration)
-        vo = g('vo')
-        carr = g('carr')
-        dur = jnp.where(st['si'][carr, C_TINF] != 0, 0,
-                        st['si'][carr, C_TIME])
-        st['vdur'] = st['vdur'].at[vo].set(
-            jnp.where(kind == 1, dur, st['vdur'][vo]))
+        if not device_cols_only:
+            # voice record: duration = carrier time
+            # (set_voice_duration)
+            vo = g('vo')
+            carr = g('carr')
+            dur = jnp.where(st['si'][carr, C_TINF] != 0, 0,
+                            st['si'][carr, C_TIME])
+            st['vdur'] = st['vdur'].at[vo].set(
+                jnp.where(kind == 1, dur, st['vdur'][vo]))
         return st
 
     return jax.lax.fori_loop(lo, hi, body, st)

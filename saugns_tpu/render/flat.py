@@ -294,10 +294,15 @@ class FlatSegment:
             # operator bindings, record ranges, activity flags and
             # counter totals are data, so one compile serves every
             # segment with this schedule signature
+            # device-authoritative columns only: fini_fn overwrites
+            # every host-authoritative column (line slots, time,
+            # vdur) from the host sim's end tables, so the full
+            # sauLine_copy machinery would be dead weight here
             st = jax.lax.cond(
                 dyn['rec_hi'] > dyn['rec_lo'],
                 lambda s_: apply_records(s_, dyn['rec_lo'],
-                                         dyn['rec_hi'], recs),
+                                         dyn['rec_hi'], recs,
+                                         device_cols_only=True),
                 lambda s_: s_, st)
 
             def op_of(si):
