@@ -290,44 +290,60 @@ class BankRender:
 
         if self.mesh is None:
             # voice slabs bound live buffer memory (a 1024-wide vmap
-            # of the whole template OOMs the compiler); slabs sum in
-            # ascending-voice order, so ordered_mix stays exact:
-            # per-slab left-to-right + left-to-right across slabs is
-            # one global left-to-right chain
+            # of the whole template OOMs the compiler). The slab loop
+            # runs as ONE lax.scan inside one jit -- the previous
+            # eager per-slab dispatch loop cost ~20 device round
+            # trips per slab (128 slabs at 1024 voices never finished
+            # inside the bench budget through the dev-rig tunnel).
+            # Slabs accumulate in ascending voice order; within a
+            # slab the mix is ordered when ordered_mix is set, so a
+            # single-slab render (every correctness test) is exactly
+            # the engine's left-to-right VMIX chain.
             V = bp.n_voices
-            vinit, vscan = self._vfns()
             samples_pv = bp.nb * bp.B
             slab = max(1, min(V, (1 << 23) // max(samples_pv, 1)))
             # shrink to a divisor of V: a remainder slab would mint a
             # second (differently-shaped) executable for no gain
             while V % slab:
                 slab -= 1
-            mix = None
-            for s0 in range(0, V - V % slab if V % slab else V, slab):
-                sl = slice(s0, s0 + slab)
-                carry = vinit(st, recs,
-                              jax.tree.map(lambda a: a[sl], bp.dyn))
-                groups = []
-                for xsg in bp.xs_groups:
-                    carry, outs = vscan(
-                        carry, jax.tree.map(lambda a: a[sl], xsg))
-                    groups.append(self._mix_local(outs))
-                part = groups[0] if len(groups) == 1 \
-                    else jnp.concatenate(groups, axis=0)
-                mix = part if mix is None else mix + part
-            rem = V % slab
-            if rem:
-                sl = slice(V - rem, V)
-                carry = jax.vmap(init_one)(
-                    jax.tree.map(lambda a: a[sl], bp.dyn))
-                groups = []
-                for xsg in bp.xs_groups:
-                    carry, outs = jax.vmap(scan_fn)(
-                        carry, jax.tree.map(lambda a: a[sl], xsg))
-                    groups.append(self._mix_local(outs))
-                part = groups[0] if len(groups) == 1 \
-                    else jnp.concatenate(groups, axis=0)
-                mix = part if mix is None else mix + part
+            n_slabs = V // slab
+
+            def reslab(a):
+                return a.reshape((n_slabs, slab) + a.shape[1:])
+
+            dyn_r = jax.tree.map(reslab, bp.dyn)
+            xs_r = tuple(jax.tree.map(reslab, g)
+                         for g in bp.xs_groups)
+
+            def render_all(st, recs, dyn_r, xs_r):
+                def slab_body(acc, args):
+                    dyn_s, xs_s = args
+                    carry = jax.vmap(
+                        lambda d: init_one_of(st, recs, d))(dyn_s)
+                    parts = []
+                    for g in range(len(xs_s)):
+                        carry, outs = jax.vmap(scan_fn)(
+                            carry, xs_s[g])
+                        parts.append(self._mix_local(outs))
+                    part = parts[0] if len(parts) == 1 \
+                        else jnp.concatenate(parts, axis=0)
+                    return acc + part, None
+
+                acc0 = jnp.zeros((bp.gch * bp.nc * bp.B * bp.ng, 2),
+                                 f32)
+                acc, _ = jax.lax.scan(slab_body, acc0, (dyn_r, xs_r))
+                return acc
+
+            def init_one_of(st, recs, dyn):
+                dyn = dict(dyn)
+                dyn['rec_lo'] = jnp.int32(0)
+                dyn['rec_hi'] = jnp.int32(0)  # records pre-applied
+                _, carry = init_fn(st, recs, dyn)
+                return carry
+
+            if getattr(self, '_render_all', None) is None:
+                self._render_all = jax.jit(render_all)
+            mix = self._render_all(st, recs, dyn_r, xs_r)
             return mix[:self._n_valid()]
 
         vspec = PSpec('voices')

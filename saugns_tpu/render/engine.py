@@ -1101,34 +1101,40 @@ class JaxGenerator:
             fns.append(fn)
         return fns
 
-    def _run_epochs(self, st):
-        """Yield per-epoch float stereo output (n_blocks, B, 2),
-        choosing the flat (time-parallel) renderer where the epoch is
-        eligible and the sequential scan elsewhere."""
-        for ei, (fn, dev) in enumerate(zip(self._epoch_fns(),
-                                           self._ep_dev)):
-            fl = self._flat_epoch(ei)
-            if fl is not None:
-                pieces = []
-                for seg in fl:
-                    st, so = seg.run(st, self._recs_dev)
-                    pieces.append(so)
-                outs = pieces[0] if len(pieces) == 1 \
-                    else jnp.concatenate(pieces, axis=0)
-            else:
-                st, outs = fn(st, *dev, self._recs_dev)
-            yield st, outs
-
     def render_device(self):
-        """Run the full render; returns a list of per-epoch device
+        """Run the full render; returns a list of per-segment device
         arrays of int16 blocks (n_blocks, B, 2) -- nothing crosses the
         host boundary. Used for throughput measurement and device-side
-        consumers."""
+        consumers. Consecutive flat segments sharing one compiled
+        template (across epochs -- the shape of note sequences) run
+        as one lax.scan dispatch (flat.run_segments_grouped)."""
         self._upload()
         st = make_state(self.plan)
         pieces = []
-        for st, outs in self._run_epochs(st):
-            pieces.append(_to_i16_device(outs))
+        fns = self._epoch_fns()
+        n_ep = len(self.plan.epochs)
+        ei = 0
+        while ei < n_ep:
+            fl = self._flat_epoch(ei)
+            if fl is None:
+                st, outs = fns[ei](st, *self._ep_dev[ei],
+                                   self._recs_dev)
+                pieces.append(_to_i16_device(outs))
+                ei += 1
+                continue
+            segs = list(fl)
+            ej = ei + 1
+            while ej < n_ep:
+                fl2 = self._flat_epoch(ej)
+                if fl2 is None:
+                    break
+                segs += fl2
+                ej += 1
+            from .flat import run_segments_grouped
+            for st, _seg, outs in run_segments_grouped(
+                    segs, st, self._recs_dev):
+                pieces.append(_to_i16_device(outs))
+            ei = ej
         return pieces
 
     def _stream_i16(self, stereo):

@@ -527,14 +527,17 @@ class FlatSegment:
         key = (stage_sig, self.B, self.nc, self.gch, srate,
                float(amp_scale), plan.n_ops, plan.n_voices,
                plan.n_recs)
+        self._key = key
         fns = FlatSegment._cache.get(key)
         if fns is None:
             fns = {'init': jax.jit(init_fn), 'scan': jax.jit(scan_fn),
-                   'fini': jax.jit(fini_fn), 'fused': {}}
+                   'fini': jax.jit(fini_fn), 'fused': {},
+                   'fused_py': fused_fn, 'group': {}}
             FlatSegment._cache[key] = fns
         if self.ng not in fns['fused']:
             fns['fused'][self.ng] = jax.jit(fused_fn)
         self._fused = fns['fused'][self.ng]
+        self._fns_entry = fns
         return (fns['init'], fns['scan'], fns['fini'])
 
     # -- stage helpers (traced inside chunk) -------------------------------
@@ -790,3 +793,87 @@ class FlatSegment:
             done += n_valid
         st = fini_fn(st, carry, self._end_dev, self._dyn_dev)
         yield 'st', st, 0
+
+
+# maximum f32 output bytes materialized by one grouped dispatch
+GROUP_OUT_CAP = 1 << 29    # 512 MiB
+
+
+def run_segments_grouped(segs, st, recs):
+    """Render a list of FlatSegments in order, yielding
+    (st', seg, outs (nb, B, 2) f32) per segment.
+
+    Consecutive segments that share one compiled template (same
+    FlatSegment._cache key and chunk-group count) run as ONE
+    ``lax.scan`` over the stacked per-segment tables -- one device
+    dispatch for the whole run. Through the dev-rig tunnel each
+    dispatch boundary costs a ~20 ms host round trip (measured:
+    misc1-4fm_pm's four per-epoch dispatches spent 69 ms in
+    inter-dispatch gaps vs 58 ms of device work), so sequences of
+    structurally identical epochs -- the shape of every
+    note-sequence script -- collapse to a single launch."""
+    import os
+    allow = os.environ.get('SAUGNS_TPU_GROUP_SEGS', '1') == '1'
+    i = 0
+    while i < len(segs):
+        s0 = segs[i]
+        j = i + 1
+        bytes_per = s0.ng * s0.gch * s0.nc * s0.B * 8
+        if allow:
+            total = bytes_per
+            while j < len(segs) \
+                    and segs[j]._key == s0._key \
+                    and segs[j].ng == s0.ng \
+                    and total + bytes_per <= GROUP_OUT_CAP:
+                total += bytes_per
+                j += 1
+        group = segs[i:j]
+        if len(group) == 1:
+            st, outs = s0.run(st, recs)
+            yield st, s0, outs
+        else:
+            k = len(group)
+            for s_ in group:
+                s_._upload()
+            fns = s0._fns_entry
+            gfn = fns['group'].get((s0.ng, k))
+            if gfn is None:
+                fused_py = fns['fused_py']
+
+                def group_fn(st, recs, xs_stk, end_stk, dyn_stk):
+                    def body(st, per_seg):
+                        xs_list, end_tabs, dyn = per_seg
+                        st, outs = fused_py(st, recs, xs_list,
+                                            end_tabs, dyn)
+                        return st, outs
+                    return jax.lax.scan(body, st,
+                                        (xs_stk, end_stk, dyn_stk))
+
+                gfn = jax.jit(group_fn)
+                fns['group'][(s0.ng, k)] = gfn
+            # stacked tables cached on the first segment of the group
+            stk = getattr(s0, '_group_stk', None)
+            if stk is None or s0._group_n != k:
+                xs_stk = tuple(
+                    {kk: jnp.stack([s_._xs_groups[g][kk]
+                                    for s_ in group])
+                     for kk in group[0]._xs_groups[g]}
+                    for g in range(s0.ng))
+                end_stk = {kk: jnp.stack([s_._end_dev[kk]
+                                          for s_ in group])
+                           for kk in group[0]._end_dev}
+                dyn_stk = {kk: jnp.stack([s_._dyn_dev[kk]
+                                          for s_ in group])
+                           for kk in group[0]._dyn_dev}
+                stk = (xs_stk, end_stk, dyn_stk)
+                s0._group_stk = stk
+                s0._group_n = k
+            st, outs = gfn(st, recs, *stk)
+            # outs: tuple over chunk groups of (k, gch, nc, B, 2)
+            for si, s_ in enumerate(group):
+                pieces = [o[si].reshape(s_.gch * s_.nc, s_.B, 2)
+                          for o in outs]
+                full = pieces[0] if len(pieces) == 1 \
+                    else jnp.concatenate(pieces, axis=0)
+                yield st, s_, full[:s_.nb]
+        i = j

@@ -1143,11 +1143,15 @@ _tap_mats = None
 
 
 def _build_tap_mats():
-    """(12, 128, 256) f32: per wave, tapmat[hi, k*16+lo] = component k
-    of PILUT cell hi*16+lo, where the 12 components are the taps
+    """(12, 64, 384) f32: per wave, tapmat[hi, k*32+lo] = component k
+    of PILUT cell hi*32+lo, where the 12 components are the taps
     s[-1..2] each split into 3 bf16-exact pieces [t1(4) | t2(4) |
     t3(4)] (so the MXU's default f32->bf16 input truncation is
-    lossless; bf16 storage itself would force a slow VPU relayout)."""
+    lossless; bf16 storage itself would force a slow VPU relayout).
+    The 256/8 split minimizes the kernel's VPU mask work (the
+    bottleneck -- measured 2.25 ms per 2M samples vs 2.40 for 64/32
+    and 2.54 for 128/16 on v5e): the lo-select compare+mul runs on
+    12*8 = 96 lanes (padded to 128) instead of 256/384."""
     global _tap_mats
     if _tap_mats is not None:
         return _tap_mats
@@ -1162,76 +1166,78 @@ def _build_tap_mats():
     t2 = r.astype(ml_dtypes.bfloat16).astype(np.float32)
     t3 = (r - t2)
     comp = np.concatenate([t1, t2, t3], axis=-1)   # (12, 2048, 12)
-    # [w, hi*16+lo, k] -> [w, hi, k*16+lo], padded to 256 lanes
-    m2 = comp.reshape(12, 128, 16, 12).transpose(0, 1, 3, 2) \
-        .reshape(12, 128, 192)
-    pad = np.zeros((12, 128, 64), np.float32)
-    mats = np.concatenate([m2, pad], axis=-1).astype(np.float32)
+    # [w, hi*8+lo, k] -> [w, hi, k*8+lo], padded to 128 lanes
+    m = comp.reshape(12, 256, 8, 12).transpose(0, 1, 3, 2) \
+        .reshape(12, 256, 96)
+    mats = np.concatenate(
+        [m, np.zeros((12, 256, 32), np.float32)], axis=-1) \
+        .astype(np.float32)
     with jax.ensure_compile_time_eval():
         _tap_mats = jnp.asarray(mats)
     return _tap_mats
 
 
 def _gather_taps_pallas(cells, tapmat):
-    """cells: (B,) int32 in [0, 2048); tapmat: (128, 256) f32, laid
-    out tapmat[hi, k*16+lo] = component k of cell hi*16+lo, values
+    """cells: (B,) int32 in [0, 2048); tapmat: (64, 384) f32, laid
+    out tapmat[hi, k*32+lo] = component k of cell hi*32+lo, values
     bf16-exact. Returns (8, B) f32 with the 4 exact f32 taps of each
     cell in rows 0..3 (rows 4..7 zero). B: multiple of 2048.
 
     Two-level MXU gather: a 2048-wide one-hot matmul costs 2048 MACs
-    per lookup; splitting the cell index into hi (128) and lo (16)
-    does one 128-wide one-hot dot to fetch all 16 lo-candidates, masks
+    per lookup; splitting the cell index into hi (64) and lo (32)
+    does one 64-wide one-hot dot to fetch all 32 lo-candidates, masks
     by the lo one-hot, and reduces candidate groups with a constant
-    0/1 matrix -- 4x fewer FLOPs, exact. The reduction matrix sums the
-    three bf16-exact components of each tap directly (the components
-    are non-overlapping truncations of one f32 value, so any
-    accumulation order is exact), making the second dot an 8-row
-    matmul and the kernel's HBM output 16x smaller than emitting all
-    12 components."""
+    0/1 matrix. The reduction matrix sums the three bf16-exact
+    components of each tap directly (the components are
+    non-overlapping truncations of one f32 value, so any accumulation
+    order is exact), making the second dot an 8-row matmul and the
+    kernel's HBM output small. Samples run in 512-row dots (vs 256)
+    to keep the MXU pipeline full."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B = cells.shape[0]
-    TILE = 2048  # samples per kernel invocation
+    TILE = 4096  # samples per kernel invocation
+    ROWS = 512   # samples per one-hot dot (TILE//ROWS >= 8 sublanes)
     grid = (B // TILE,)
-    cells2 = cells.reshape(B // 256, 256)
+    cells2 = cells.reshape(B // ROWS, ROWS)
     # component k = limb*4 + tap (see _build_tap_mats); row t sums all
-    # limbs of tap t over the 16-wide lo-group: g[t, k*16+lo] = 1 iff
+    # limbs of tap t over the 32-wide lo-group: g[t, k*32+lo] = 1 iff
     # k % 4 == t. The second dot contracts on BOTH operands' minor
     # axis so the output lands transposed (taps x samples): tap rows
     # slice for free downstream (column slices of a (B, ...) result
     # cost ~100 us each as strided kLoop fusions on v5e).
-    g = np.zeros((8, 256), np.float32)
+    g = np.zeros((8, 384), np.float32)
     for k in range(12):
-        g[k % 4, k * 16:(k + 1) * 16] = 1.0
+        g[k % 4, k * 32:(k + 1) * 32] = 1.0
     with jax.ensure_compile_time_eval():
         gmat = jnp.asarray(g)
 
     def kernel(idx_ref, t_ref, g_ref, out_ref):
-        # 8 rows of 256 indices; no reshapes (Mosaic-unfriendly)
-        col16 = jax.lax.broadcasted_iota(i32, (256, 256), 1) \
-            % np.int32(16)
-        for r in range(TILE // 256):
+        # rows of ROWS indices; no reshapes (Mosaic-unfriendly)
+        col32 = jax.lax.broadcasted_iota(i32, (ROWS, 384), 1) \
+            % np.int32(32)
+        for r in range(TILE // ROWS):
             idx = idx_ref[r, :]
-            hi = idx >> np.int32(4)
-            lo = idx & np.int32(15)
-            oh = (jax.lax.broadcasted_iota(i32, (256, 128), 1)
+            hi = idx >> np.int32(5)
+            lo = idx & np.int32(31)
+            oh = (jax.lax.broadcasted_iota(i32, (ROWS, 64), 1)
                   == hi[:, None]).astype(f32)
             cand = jnp.dot(oh, t_ref[:], preferred_element_type=f32)
-            sel = (col16 == lo[:, None]).astype(f32)
-            out_ref[:, r * 256:(r + 1) * 256] = jax.lax.dot_general(
+            sel = (col32 == lo[:, None]).astype(f32)
+            out_ref[:, r * ROWS:(r + 1) * ROWS] = jax.lax.dot_general(
                 g_ref[:], cand * sel, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE // 256, 256),
+        in_specs=[pl.BlockSpec((TILE // ROWS, ROWS),
                                lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((128, 256),
+                  pl.BlockSpec((64, 384),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 256),
+                  pl.BlockSpec((8, 384),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, TILE),
@@ -1267,7 +1273,7 @@ def gather_taps(cells, wave):
     assert isinstance(wave, int)
     if _on_tpu():
         B = cells.shape[0]
-        pad = (-B) % 2048
+        pad = (-B) % 4096
         cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
             else cells
         mats = _build_tap_mats()

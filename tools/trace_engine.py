@@ -56,6 +56,14 @@ def main():
             n = e['args'].get('name', '')
             if 'TPU' in n or 'tpu' in n or '/device' in n.lower():
                 pids_dev.add(e['pid'])
+    # container thunks (jit_*, while, closed_call, conditional) nest
+    # the real kernels; counting both double-books the time. Keep only
+    # LEAF events: events with no other event strictly inside them on
+    # the same track.
+    CONTAINERS = ('jit_', 'while', 'body', 'cond_wrapper')
+    # NOTE: closed_call kept -- the Pallas tap-gather kernel reports
+    # as a closed_call leaf; conditional kept likewise (lax.cond
+    # thunk time is real even when the taken branch is trivial).
     by_name = {}
     total = 0.0
     tmin, tmax = float('inf'), 0.0
@@ -64,17 +72,18 @@ def main():
         if e.get('ph') != 'X' or e.get('pid') not in pids_dev:
             continue
         name = e.get('name', '?')
+        if any(name.startswith(c) for c in CONTAINERS):
+            continue
         dur = e.get('dur', 0) / 1e3  # ms
-        if name.startswith('run_') or '#' in name or True:
-            key = name.split('.')[0]
-            by_name[key] = by_name.get(key, [0.0, 0])
-            by_name[key][0] += dur
-            by_name[key][1] += 1
-            total += dur
-            n_ev += 1
-            ts = e.get('ts', 0)
-            tmin = min(tmin, ts)
-            tmax = max(tmax, ts + e.get('dur', 0))
+        key = name.split('.')[0]
+        by_name[key] = by_name.get(key, [0.0, 0])
+        by_name[key][0] += dur
+        by_name[key][1] += 1
+        total += dur
+        n_ev += 1
+        ts = e.get('ts', 0)
+        tmin = min(tmin, ts)
+        tmax = max(tmax, ts + e.get('dur', 0))
     span = (tmax - tmin) / 1e3 if n_ev else 0.0
     print('# device busy %.1f ms, span %.1f ms, %d kernel execs, '
           'gaps %.1f ms' % (total, span, n_ev, span - total))
