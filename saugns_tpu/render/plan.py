@@ -239,6 +239,43 @@ class RenderPlan:
         epochs: List[Epoch] = []
         cur: Optional[Epoch] = None
         cur_sig = None
+        # graph changes are scheduled LAZILY, once per distinct event
+        # time: a chord (or generated voice bank) delivers hundreds of
+        # graph-changing events at one sample time, and scheduling
+        # each intermediate state is O(events x voices) for epochs
+        # that would all be zero-length anyway (a 1024-voice bank
+        # spent ~130 s host time here). The flushed schedule reflects
+        # the state after ALL events at that time -- identical to the
+        # last of the intermediate schedules; the dropped zero-length
+        # epochs' records land in the surviving epoch's first block
+        # (record order is event order either way).
+        pending = None   # (time, ev_index) of first unflushed change
+
+        def flush_schedule():
+            nonlocal cur, cur_sig, pending
+            if pending is None:
+                return
+            p_now, p_ei = pending
+            pending = None
+            stages, insts, sig = self._schedule(ops, vo_carr,
+                                                vo_has_carr)
+            if cur is None or sig != cur_sig:
+                if cur is not None:
+                    cur.end = p_now
+                    cur.ev_hi = p_ei
+                    epochs.append(cur)
+                ncur = Epoch(start=p_now, end=0, ev_lo=p_ei, ev_hi=0)
+                ncur.stages = stages
+                ncur.instances = insts
+                ncur.sig = sig
+                ncur.op_changes = [(p_now, [st.op for st in stages],
+                                    [i.op for i in insts])]
+                cur = ncur
+                cur_sig = sig
+            else:
+                cur.op_changes.append((p_now,
+                                       [st.op for st in stages],
+                                       [i.op for i in insts]))
 
         def op_time_now(oid, now):
             if op_time_inf[oid]:
@@ -248,6 +285,8 @@ class RenderPlan:
 
         for ei, e in enumerate(prg.events):
             now = ev_abs[ei]
+            if pending is not None and now > pending[0]:
+                flush_schedule()
             graph_changed = False
             for od in e.op_data:
                 om = ops[od.id]
@@ -297,26 +336,9 @@ class RenderPlan:
             if now > signal_end:
                 signal_end = now
 
-            if cur is None or graph_changed:
-                stages, insts, sig = self._schedule(ops, vo_carr,
-                                                    vo_has_carr)
-                if cur is None or sig != cur_sig:
-                    if cur is not None:
-                        cur.end = now
-                        cur.ev_hi = ei
-                        epochs.append(cur)
-                    cur = Epoch(start=now, end=0, ev_lo=ei, ev_hi=0)
-                    cur.stages = stages
-                    cur.instances = insts
-                    cur.sig = sig
-                    cur_sig = sig
-                    cur.op_changes = [(now,
-                                       [st.op for st in stages],
-                                       [i.op for i in insts])]
-                else:
-                    cur.op_changes.append((now,
-                                           [st.op for st in stages],
-                                           [i.op for i in insts]))
+            if (cur is None or graph_changed) and pending is None:
+                pending = (now, ei)
+        flush_schedule()
         if cur is None:
             cur = Epoch(start=0, end=0, ev_lo=0, ev_hi=0)
             cur.stages, cur.instances, cur.sig = self._schedule(
