@@ -1076,7 +1076,9 @@ class JaxGenerator:
                  jnp.asarray(ep.blk_inst_op))
                 for ep in self.plan.epochs]
 
-    def _epoch_fns(self):
+    def _epoch_fns(self, raw=False):
+        """Per-epoch sequential-scan functions; ``raw=True`` returns
+        the unjitted bodies (for inlining into a mono dispatch)."""
         plan = self.plan
         fns = []
         for ep in plan.epochs:
@@ -1091,24 +1093,115 @@ class JaxGenerator:
                    plan.amp_scale, inst_parent, stage_voices,
                    self.srate, nb, plan.n_ops, plan.n_voices,
                    plan.n_recs)
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = jax.jit(build_epoch_fn(
+            pair = self._cache.get(key)
+            if pair is None:
+                raw_fn = build_epoch_fn(
                     sig, n_stages, n_insts, plan.n_bufs, B,
                     plan.amp_scale, inst_parent, stage_voices,
-                    self.srate))
-                self._cache[key] = fn
-            fns.append(fn)
+                    self.srate)
+                pair = (raw_fn, jax.jit(raw_fn))
+                self._cache[key] = pair
+            fns.append(pair[0] if raw else pair[1])
         return fns
+
+    def _mono(self):
+        """One-dispatch whole-render function, or None when not
+        applicable. On the TPU every dispatch boundary costs a ~20 ms
+        host round trip (simple_sequence-pm: 25 ms of device work vs
+        ~190 ms of inter-dispatch gaps), so the entire render --
+        sequential epochs, segment groups, int16 conversion -- is
+        traced into ONE jit when the full f32 output fits
+        flat.GROUP_OUT_CAP. Off-TPU the per-template executables
+        compile faster and share across scripts (the corpus sweep
+        relies on it), so multi-dispatch stays the default there;
+        SAUGNS_TPU_MONO=force / =0 overrides."""
+        mode = os.environ.get('SAUGNS_TPU_MONO', '1')
+        if mode == '0' or (mode != 'force' and not jdsp._on_tpu()):
+            return None
+        if getattr(self, '_mono_cache', None) is not None:
+            return self._mono_cache or None
+        from .flat import (GROUP_OUT_CAP, group_scan,
+                           group_stacked_args, plan_groups,
+                           split_group_outs)
+        items = []
+        args = []
+        total = 0
+        raw_fns = self._epoch_fns(raw=True)
+        n_ep = len(self.plan.epochs)
+        ei = 0
+        while ei < n_ep:
+            fl = self._flat_epoch(ei)
+            if fl is None:
+                ep = self.plan.epochs[ei]
+                items.append(('seq', raw_fns[ei], None))
+                args.append(self._ep_dev[ei])
+                total += len(ep.blk_len) * ep.block * 8
+                ei += 1
+                continue
+            segs = list(fl)
+            ej = ei + 1
+            while ej < n_ep:
+                fl2 = self._flat_epoch(ej)
+                if fl2 is None:
+                    break
+                segs += fl2
+                ej += 1
+            for group in plan_groups(segs):
+                s0 = group[0]
+                items.append(('group', group,
+                              s0._fns_entry['fused_py']))
+                if len(group) == 1:
+                    s0._upload()
+                    args.append((tuple(s0._xs_groups), s0._end_dev,
+                                 s0._dyn_dev))
+                else:
+                    args.append(group_stacked_args(group))
+                total += len(group) * s0.ng * s0.gch * s0.nc \
+                    * s0.B * 8
+            ei = ej
+        if total > GROUP_OUT_CAP:
+            self._mono_cache = False
+            return None
+
+        def mono(st, recs, *dev_args):
+            pieces = []
+            for (kind, a, b), arg in zip(items, dev_args):
+                if kind == 'seq':
+                    st, outs = a(st, *arg, recs)
+                    pieces.append(_to_i16_device(outs))
+                    continue
+                group, fused_py = a, b
+                if len(group) == 1:
+                    s0 = group[0]
+                    st, outs = fused_py(st, recs, *arg)
+                    ps = [o.reshape(s0.gch * s0.nc, s0.B, 2)
+                          for o in outs]
+                    full = ps[0] if len(ps) == 1 \
+                        else jnp.concatenate(ps, axis=0)
+                    pieces.append(_to_i16_device(full[:s0.nb]))
+                else:
+                    st, outs = group_scan(fused_py, st, recs, arg)
+                    for full in split_group_outs(group, outs):
+                        pieces.append(_to_i16_device(full))
+            return tuple(pieces)
+
+        self._mono_cache = (jax.jit(mono), tuple(args))
+        return self._mono_cache
 
     def render_device(self):
         """Run the full render; returns a list of per-segment device
         arrays of int16 blocks (n_blocks, B, 2) -- nothing crosses the
         host boundary. Used for throughput measurement and device-side
-        consumers. Consecutive flat segments sharing one compiled
-        template (across epochs -- the shape of note sequences) run
-        as one lax.scan dispatch (flat.run_segments_grouped)."""
+        consumers. On TPU the whole render runs as ONE dispatch
+        (_mono); otherwise consecutive flat segments sharing one
+        compiled template run as one lax.scan dispatch each
+        (flat.run_segments_grouped)."""
         self._upload()
+        mono = self._mono()
+        if mono is not None:
+            fn, dev_args = mono
+            return list(fn(make_state(self.plan), self._recs_dev,
+                           *dev_args))
         st = make_state(self.plan)
         pieces = []
         fns = self._epoch_fns()

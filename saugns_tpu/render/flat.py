@@ -33,6 +33,7 @@ lax.scan with a tiny scalar carry.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import numpy as np
@@ -799,21 +800,13 @@ class FlatSegment:
 GROUP_OUT_CAP = 1 << 29    # 512 MiB
 
 
-def run_segments_grouped(segs, st, recs):
-    """Render a list of FlatSegments in order, yielding
-    (st', seg, outs (nb, B, 2) f32) per segment.
-
-    Consecutive segments that share one compiled template (same
-    FlatSegment._cache key and chunk-group count) run as ONE
-    ``lax.scan`` over the stacked per-segment tables -- one device
-    dispatch for the whole run. Through the dev-rig tunnel each
-    dispatch boundary costs a ~20 ms host round trip (measured:
-    misc1-4fm_pm's four per-epoch dispatches spent 69 ms in
-    inter-dispatch gaps vs 58 ms of device work), so sequences of
-    structurally identical epochs -- the shape of every
-    note-sequence script -- collapse to a single launch."""
+def plan_groups(segs):
+    """Partition a segment list into runs of consecutive segments
+    that share one compiled template (same FlatSegment._cache key and
+    chunk-group count), bounded by GROUP_OUT_CAP of f32 output."""
     import os
     allow = os.environ.get('SAUGNS_TPU_GROUP_SEGS', '1') == '1'
+    groups = []
     i = 0
     while i < len(segs):
         s0 = segs[i]
@@ -827,53 +820,84 @@ def run_segments_grouped(segs, st, recs):
                     and total + bytes_per <= GROUP_OUT_CAP:
                 total += bytes_per
                 j += 1
-        group = segs[i:j]
+        groups.append(segs[i:j])
+        i = j
+    return groups
+
+
+def group_stacked_args(group):
+    """Device-resident stacked (xs, end_tabs, dyn) tables for a
+    segment group, cached on the group's first segment."""
+    s0 = group[0]
+    k = len(group)
+    for s_ in group:
+        s_._upload()
+    stk = getattr(s0, '_group_stk', None)
+    if stk is None or s0._group_n != k:
+        xs_stk = tuple(
+            {kk: jnp.stack([s_._xs_groups[g][kk] for s_ in group])
+             for kk in group[0]._xs_groups[g]}
+            for g in range(s0.ng))
+        end_stk = {kk: jnp.stack([s_._end_dev[kk] for s_ in group])
+                   for kk in group[0]._end_dev}
+        dyn_stk = {kk: jnp.stack([s_._dyn_dev[kk] for s_ in group])
+                   for kk in group[0]._dyn_dev}
+        stk = (xs_stk, end_stk, dyn_stk)
+        s0._group_stk = stk
+        s0._group_n = k
+    return stk
+
+
+def group_scan(fused_py, st, recs, stk):
+    """lax.scan of one fused segment body over stacked per-segment
+    tables. Returns (st', outs) with outs a tuple over chunk groups
+    of (k, gch, nc, B, 2)."""
+    def body(st, per_seg):
+        xs_list, end_tabs, dyn = per_seg
+        st, outs = fused_py(st, recs, xs_list, end_tabs, dyn)
+        return st, outs
+    return jax.lax.scan(body, st, stk)
+
+
+def split_group_outs(group, outs):
+    """Per-segment (nb, B, 2) views of group_scan outputs."""
+    full_list = []
+    for si, s_ in enumerate(group):
+        pieces = [o[si].reshape(s_.gch * s_.nc, s_.B, 2)
+                  for o in outs]
+        full = pieces[0] if len(pieces) == 1 \
+            else jnp.concatenate(pieces, axis=0)
+        full_list.append(full[:s_.nb])
+    return full_list
+
+
+def run_segments_grouped(segs, st, recs):
+    """Render a list of FlatSegments in order, yielding
+    (st', seg, outs (nb, B, 2) f32) per segment.
+
+    Consecutive segments that share one compiled template (same
+    FlatSegment._cache key and chunk-group count) run as ONE
+    ``lax.scan`` over the stacked per-segment tables -- one device
+    dispatch for the whole run. Through the dev-rig tunnel each
+    dispatch boundary costs a ~20 ms host round trip (measured:
+    misc1-4fm_pm's four per-epoch dispatches spent 69 ms in
+    inter-dispatch gaps vs 58 ms of device work), so sequences of
+    structurally identical epochs -- the shape of every
+    note-sequence script -- collapse to a single launch."""
+    for group in plan_groups(segs):
+        s0 = group[0]
         if len(group) == 1:
             st, outs = s0.run(st, recs)
             yield st, s0, outs
-        else:
-            k = len(group)
-            for s_ in group:
-                s_._upload()
-            fns = s0._fns_entry
-            gfn = fns['group'].get((s0.ng, k))
-            if gfn is None:
-                fused_py = fns['fused_py']
-
-                def group_fn(st, recs, xs_stk, end_stk, dyn_stk):
-                    def body(st, per_seg):
-                        xs_list, end_tabs, dyn = per_seg
-                        st, outs = fused_py(st, recs, xs_list,
-                                            end_tabs, dyn)
-                        return st, outs
-                    return jax.lax.scan(body, st,
-                                        (xs_stk, end_stk, dyn_stk))
-
-                gfn = jax.jit(group_fn)
-                fns['group'][(s0.ng, k)] = gfn
-            # stacked tables cached on the first segment of the group
-            stk = getattr(s0, '_group_stk', None)
-            if stk is None or s0._group_n != k:
-                xs_stk = tuple(
-                    {kk: jnp.stack([s_._xs_groups[g][kk]
-                                    for s_ in group])
-                     for kk in group[0]._xs_groups[g]}
-                    for g in range(s0.ng))
-                end_stk = {kk: jnp.stack([s_._end_dev[kk]
-                                          for s_ in group])
-                           for kk in group[0]._end_dev}
-                dyn_stk = {kk: jnp.stack([s_._dyn_dev[kk]
-                                          for s_ in group])
-                           for kk in group[0]._dyn_dev}
-                stk = (xs_stk, end_stk, dyn_stk)
-                s0._group_stk = stk
-                s0._group_n = k
-            st, outs = gfn(st, recs, *stk)
-            # outs: tuple over chunk groups of (k, gch, nc, B, 2)
-            for si, s_ in enumerate(group):
-                pieces = [o[si].reshape(s_.gch * s_.nc, s_.B, 2)
-                          for o in outs]
-                full = pieces[0] if len(pieces) == 1 \
-                    else jnp.concatenate(pieces, axis=0)
-                yield st, s_, full[:s_.nb]
-        i = j
+            continue
+        k = len(group)
+        fns = s0._fns_entry
+        gfn = fns['group'].get((s0.ng, k))
+        if gfn is None:
+            fused_py = fns['fused_py']
+            gfn = jax.jit(functools.partial(group_scan, fused_py))
+            fns['group'][(s0.ng, k)] = gfn
+        stk = group_stacked_args(group)
+        st, outs = gfn(st, recs, stk)
+        for s_, full in zip(group, split_group_outs(group, outs)):
+            yield st, s_, full

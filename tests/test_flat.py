@@ -75,3 +75,26 @@ def test_flat_matches_sequential(path):
             int(np.sum(a != b)), len(a),
             int(np.abs(a.astype(np.int32)
                        - b.astype(np.int32)).max())))
+
+
+def test_mono_dispatch_matches_multi():
+    """The one-dispatch whole-render jit (engine._mono, the TPU
+    default) is bit-identical to the per-group dispatch path."""
+    from saugns_tpu.lang.program import build_program, ScriptArg
+    path = os.path.join(REFERENCE, 'devtests/voice-reuse.sau')
+    if not os.path.exists(path):
+        pytest.skip('reference corpus not available')
+    prg = build_program(ScriptArg(str=path, is_path=True,
+                                  no_time=True))
+    from saugns_tpu.render.engine import JaxGenerator
+    os.environ['SAUGNS_TPU_MONO'] = 'force'
+    try:
+        a = [np.asarray(x)
+             for x in JaxGenerator(prg, 6000).render_device()]
+    finally:
+        os.environ['SAUGNS_TPU_MONO'] = '0'
+    b = [np.asarray(x)
+         for x in JaxGenerator(prg, 6000).render_device()]
+    os.environ.pop('SAUGNS_TPU_MONO', None)
+    assert len(a) == len(b)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
