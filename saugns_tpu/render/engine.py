@@ -1197,12 +1197,15 @@ class JaxGenerator:
         compiled template run as one lax.scan dispatch each
         (flat.run_segments_grouped)."""
         self._upload()
+        # the initial state is constant and never mutated (the render
+        # is purely functional), so build it once per generator
+        if getattr(self, '_st0', None) is None:
+            self._st0 = make_state(self.plan)
         mono = self._mono()
         if mono is not None:
             fn, dev_args = mono
-            return list(fn(make_state(self.plan), self._recs_dev,
-                           *dev_args))
-        st = make_state(self.plan)
+            return list(fn(self._st0, self._recs_dev, *dev_args))
+        st = self._st0
         pieces = []
         fns = self._epoch_fns()
         n_ep = len(self.plan.epochs)

@@ -98,12 +98,15 @@ def _count_nonzero_mxu(mask):
 def _last_valid_fill(s_raw, valid, in_range, seed):
     """Flat forward fill: value at the last valid index <= i (seed if
     none) -- the whole-epoch form of wosc's pd == 0 hold
-    (wosc.h:247-261). Three tiers like jdsp.forward_fill_valid:
-    in-range positions all valid (the overwhelmingly common case) ->
-    raw; isolated invalids with a valid predecessor -> one shift;
-    else a gather-free associative scan on the values (combine keeps
-    the right operand when valid; index-then-gather would serialize
-    on TPU)."""
+    (wosc.h:247-261). The all-valid and isolated-invalid cases unify
+    branchlessly (a shifted copy selected per lane: where valid is
+    True the shift is a no-op, so the all-valid fast path costs one
+    fused select instead of a lax.cond -- cond thunks dominate the
+    launch count on TPU, ~2 ms of slice/copy plumbing per render on
+    misc1). Only the rare run-of-invalids case (>= 2 consecutive
+    pd == 0 samples) takes a conditional into the gather-free
+    associative scan (combine keeps the right operand when valid;
+    index-then-gather would serialize on TPU)."""
     bad = (~valid) & in_range
     # a valid source precedes position i if sample i-1 is valid; the
     # seed is always a source at position 0
@@ -112,9 +115,6 @@ def _last_valid_fill(s_raw, valid, in_range, seed):
     pair = bad & ~src_prev
 
     def fast(_):
-        return s_raw
-
-    def shift1(_):
         sh = jnp.concatenate([jnp.reshape(seed, (1,)), s_raw[:-1]])
         return jnp.where(valid, s_raw, sh)
 
@@ -127,10 +127,7 @@ def _last_valid_fill(s_raw, valid, in_range, seed):
 
     zero = np.float32(0.0)
     return jax.lax.cond(
-        _count_nonzero_mxu(bad) == zero, fast,
-        lambda _: jax.lax.cond(_count_nonzero_mxu(pair) == zero,
-                               shift1, slow, None),
-        None)
+        _count_nonzero_mxu(pair) == zero, fast, slow, None)
 
 
 class FlatSegment:
