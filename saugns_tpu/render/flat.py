@@ -848,12 +848,16 @@ def group_stacked_args(group):
 def group_scan(fused_py, st, recs, stk):
     """lax.scan of one fused segment body over stacked per-segment
     tables. Returns (st', outs) with outs a tuple over chunk groups
-    of (k, gch, nc, B, 2)."""
+    of (k, gch, nc, B, 2). Small groups unroll fully: the rolled
+    scan's per-iteration dynamic slicing of ~60 xs leaves lowered to
+    ~15 us slice kernels each (~17 ms per misc1 render); unrolled,
+    the slices are static and fuse into their consumers."""
+    k = jax.tree_util.tree_leaves(stk)[0].shape[0]
     def body(st, per_seg):
         xs_list, end_tabs, dyn = per_seg
         st, outs = fused_py(st, recs, xs_list, end_tabs, dyn)
         return st, outs
-    return jax.lax.scan(body, st, stk)
+    return jax.lax.scan(body, st, stk, unroll=k if k <= 8 else 1)
 
 
 def split_group_outs(group, outs):

@@ -1196,8 +1196,8 @@ def _gather_taps_pallas(cells, tapmat):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B = cells.shape[0]
-    TILE = 4096  # samples per kernel invocation
-    ROWS = 512   # samples per one-hot dot (TILE//ROWS >= 8 sublanes)
+    TILE = 16384  # samples per kernel invocation
+    ROWS = 2048   # samples per one-hot dot (TILE//ROWS >= 8 sublanes)
     grid = (B // TILE,)
     cells2 = cells.reshape(B // ROWS, ROWS)
     # component k = limb*4 + tap (see _build_tap_mats); row t sums all
@@ -1273,7 +1273,7 @@ def gather_taps(cells, wave):
     assert isinstance(wave, int)
     if _on_tpu():
         B = cells.shape[0]
-        pad = (-B) % 4096
+        pad = (-B) % 16384
         cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
             else cells
         mats = _build_tap_mats()
