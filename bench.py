@@ -73,6 +73,66 @@ def _watchdog():
     os._exit(0)
 
 
+def _self_check():
+    """Device-path fidelity gate: the CPU-platform test suite never
+    exercises the TPU Pallas kernels, so the bench validates the
+    device render before timing it -- (a) the tap-gather kernel
+    bit-exact vs direct table indexing for all 12 waves, (b) a Wsin
+    render bit-identical to the NumPy host backend (itself
+    byte-identical to the reference binary)."""
+    import jax
+    import numpy as np
+    from saugns_tpu.dsp import wavetables as W
+    from saugns_tpu.render import jdsp
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.render.engine import JaxGenerator
+    from saugns_tpu.render.cpu import Generator as CpuGenerator
+    import jax.numpy as jnp
+    ok = True
+    _, piluts = W.get_tables()
+    piluts = np.asarray(piluts)
+    cells = np.random.RandomState(0).randint(
+        0, 2048, 50000).astype(np.int32)
+    cj = jnp.asarray(cells)
+    for w in range(12):
+        out = np.asarray(jdsp.gather_taps(cj, w))
+        ref = piluts[w][(cells[None, :]
+                         + np.arange(-1, 3)[:, None]) & 2047]
+        n = int((out != ref).sum())
+        if n:
+            ok = False
+            print('# SELF-CHECK FAIL: tap gather wave %d: %d '
+                  'mismatches' % (w, n), file=sys.stderr, flush=True)
+    prg = build_program(ScriptArg(str='Wsin', is_path=False,
+                                  no_time=True, predef=[]))
+    g = JaxGenerator(prg, SRATE)
+    # single-epoch script: trim per-block pad to reconstruct the
+    # timeline from the padded (nb, B, 2) render_device pieces
+    piece = np.asarray(g.render_device()[0])
+    lens = np.asarray(g.plan.epochs[0].blk_len)
+    dev = np.concatenate([piece[i, :lens[i]]
+                          for i in range(len(lens))])
+    cg = CpuGenerator(prg, SRATE)
+    buf = np.zeros(8192 * 2, np.int16)
+    chunks = []
+    while True:
+        more, n = cg.run(buf, 8192, True)
+        chunks.append(buf[:n * 2].copy())
+        if not more:
+            break
+    ref = np.concatenate(chunks).reshape(-1, 2)
+    devv = dev[:len(ref)]
+    n = int(np.any(devv != ref, axis=1).sum())
+    if n:
+        ok = False
+        print('# SELF-CHECK FAIL: Wsin device render differs from '
+              'host backend on %d/%d frames' % (n, len(ref)),
+              file=sys.stderr, flush=True)
+    print('# self-check: %s' % ('ok' if ok else 'FAILED'),
+          file=sys.stderr, flush=True)
+    return ok
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
@@ -80,6 +140,11 @@ def main():
     from saugns_tpu.render.engine import JaxGenerator
     from saugns_tpu.render import jdsp
     jdsp.get_tables()
+    try:
+        _self_check()
+    except Exception as e:
+        print('# self-check errored: %s' % e, file=sys.stderr,
+              flush=True)
 
     results = {}
     gens = []

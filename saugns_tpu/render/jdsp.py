@@ -1143,8 +1143,8 @@ _tap_mats = None
 
 
 def _build_tap_mats():
-    """(12, 64, 384) f32: per wave, tapmat[hi, k*32+lo] = component k
-    of PILUT cell hi*32+lo, where the 12 components are the taps
+    """(12, 256, 128) f32: per wave, tapmat[hi, k*8+lo] = component k
+    of PILUT cell hi*8+lo, where the 12 components are the taps
     s[-1..2] each split into 3 bf16-exact pieces [t1(4) | t2(4) |
     t3(4)] (so the MXU's default f32->bf16 input truncation is
     lossless; bf16 storage itself would force a slow VPU relayout).
@@ -1178,21 +1178,23 @@ def _build_tap_mats():
 
 
 def _gather_taps_pallas(cells, tapmat):
-    """cells: (B,) int32 in [0, 2048); tapmat: (64, 384) f32, laid
-    out tapmat[hi, k*32+lo] = component k of cell hi*32+lo, values
-    bf16-exact. Returns (8, B) f32 with the 4 exact f32 taps of each
-    cell in rows 0..3 (rows 4..7 zero). B: multiple of 2048.
+    """cells: (B,) int32 in [0, 2048); tapmat: (256, 128) f32, laid
+    out tapmat[hi, k*8+lo] = component k of cell hi*8+lo (lanes
+    96..127 zero pad), values bf16-exact. Returns (8, B) f32 with the
+    4 exact f32 taps of each cell in rows 0..3 (rows 4..7 zero). B:
+    multiple of TILE.
 
     Two-level MXU gather: a 2048-wide one-hot matmul costs 2048 MACs
-    per lookup; splitting the cell index into hi (64) and lo (32)
-    does one 64-wide one-hot dot to fetch all 32 lo-candidates, masks
+    per lookup; splitting the cell index into hi (256) and lo (8)
+    does one 256-wide one-hot dot to fetch all 8 lo-candidates, masks
     by the lo one-hot, and reduces candidate groups with a constant
     0/1 matrix. The reduction matrix sums the three bf16-exact
     components of each tap directly (the components are
     non-overlapping truncations of one f32 value, so any accumulation
     order is exact), making the second dot an 8-row matmul and the
-    kernel's HBM output small. Samples run in 512-row dots (vs 256)
-    to keep the MXU pipeline full."""
+    kernel's HBM output small. The kernel is VPU-mask-bound, so the
+    narrow 96-lane lo-select beats wider splits (measured 2.15 ms per
+    2M samples vs 2.40 for 64/32 and 2.54 for 128/16 on v5e)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B = cells.shape[0]
@@ -1201,29 +1203,29 @@ def _gather_taps_pallas(cells, tapmat):
     grid = (B // TILE,)
     cells2 = cells.reshape(B // ROWS, ROWS)
     # component k = limb*4 + tap (see _build_tap_mats); row t sums all
-    # limbs of tap t over the 32-wide lo-group: g[t, k*32+lo] = 1 iff
+    # limbs of tap t over the 8-wide lo-group: g[t, k*8+lo] = 1 iff
     # k % 4 == t. The second dot contracts on BOTH operands' minor
     # axis so the output lands transposed (taps x samples): tap rows
     # slice for free downstream (column slices of a (B, ...) result
     # cost ~100 us each as strided kLoop fusions on v5e).
-    g = np.zeros((8, 384), np.float32)
+    g = np.zeros((8, 128), np.float32)
     for k in range(12):
-        g[k % 4, k * 32:(k + 1) * 32] = 1.0
+        g[k % 4, k * 8:(k + 1) * 8] = 1.0
     with jax.ensure_compile_time_eval():
         gmat = jnp.asarray(g)
 
     def kernel(idx_ref, t_ref, g_ref, out_ref):
         # rows of ROWS indices; no reshapes (Mosaic-unfriendly)
-        col32 = jax.lax.broadcasted_iota(i32, (ROWS, 384), 1) \
-            % np.int32(32)
+        col8 = jax.lax.broadcasted_iota(i32, (ROWS, 128), 1) \
+            % np.int32(8)
         for r in range(TILE // ROWS):
             idx = idx_ref[r, :]
-            hi = idx >> np.int32(5)
-            lo = idx & np.int32(31)
-            oh = (jax.lax.broadcasted_iota(i32, (ROWS, 64), 1)
+            hi = idx >> np.int32(3)
+            lo = idx & np.int32(7)
+            oh = (jax.lax.broadcasted_iota(i32, (ROWS, 256), 1)
                   == hi[:, None]).astype(f32)
             cand = jnp.dot(oh, t_ref[:], preferred_element_type=f32)
-            sel = (col32 == lo[:, None]).astype(f32)
+            sel = (col8 == lo[:, None]).astype(f32)
             out_ref[:, r * ROWS:(r + 1) * ROWS] = jax.lax.dot_general(
                 g_ref[:], cand * sel, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
@@ -1234,10 +1236,10 @@ def _gather_taps_pallas(cells, tapmat):
         in_specs=[pl.BlockSpec((TILE // ROWS, ROWS),
                                lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((64, 384),
+                  pl.BlockSpec((256, 128),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 384),
+                  pl.BlockSpec((8, 128),
                                lambda i: (np.int32(0), np.int32(0)),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, TILE),
