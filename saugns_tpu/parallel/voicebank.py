@@ -167,10 +167,14 @@ class BankPlan:
         ep = self.plan.epochs[self.main_ei]
         bake = self.sim.bakes[self.main_ei]
         segs = []
+        # small per-voice chunks: the bank body is vmapped over the
+        # slab axis, and Mosaic compile time explodes with the
+        # per-chunk working set (see FlatSegment chunk_samples)
+        chunk = 2 * self.plan.epochs[self.main_ei].block
         for k, (sl, view) in enumerate(zip(self.slices, self.views)):
             vb = _bake_view(bake, sl, view)
             fs = FlatSegment(self.plan, view, vb, vb.segments[0],
-                             self.srate)
+                             self.srate, chunk_samples=chunk)
             segs.append(fs)
         self.segs = segs
         f0 = segs[0]

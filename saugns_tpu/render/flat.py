@@ -140,7 +140,8 @@ class FlatSegment:
 
     _cache: Dict = {}
 
-    def __init__(self, plan, ep, bake, seg, srate):
+    def __init__(self, plan, ep, bake, seg, srate,
+                 chunk_samples=None):
         from .engine import _ensure_compile_cache
         _ensure_compile_cache()
         self.plan = plan
@@ -153,7 +154,13 @@ class FlatSegment:
         lo, hi = seg.lo, seg.hi
         nb = hi - lo
         B = ep.block
-        cap = max(FLAT_CHUNK // B, 1)
+        # chunk_samples caps the per-chunk working set: vmapped
+        # consumers (voice banks) shrink it so the traced body stays
+        # small -- Mosaic compile time grows superlinearly with the
+        # per-chunk array sizes (a (8, 12, 65536) bank body never
+        # finished compiling through the dev-rig tunnel; (8, 2,
+        # 65536) with an inner 6-step scan compiles fine)
+        cap = max((chunk_samples or FLAT_CHUNK) // B, 1)
         # quantize the padded block count (8 steps per octave) so
         # segments of similar size share one compile while padding
         # waste stays under ~12% (power-of-2 rounding cost 45% on an

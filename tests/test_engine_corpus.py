@@ -8,9 +8,11 @@ stays within quantization distance (SNR >= 90 dB; most scripts are
 bit-identical).  This is the harness whose absence let round-1's
 24-88 dB engine outliers ship unnoticed.
 
-The quick default covers every DSP feature family and all previous
-fidelity regressions; set SAUGNS_TPU_CORPUS_FULL=1 to sweep the whole
-examples/ + devtests/ corpus (minutes on the CPU platform).
+The FULL examples/ + devtests/ sweep (92 scripts) is the default
+gate: with the persistent compile cache warm it completes in ~5
+minutes on this host (first-ever run: ~19 minutes of XLA compiles).
+Set SAUGNS_TPU_CORPUS_FULL=0 for the quick subset (every DSP feature
+family + all previous fidelity regressions).
 """
 import glob
 import os
@@ -40,7 +42,7 @@ QUICK = [
 
 
 def corpus_scripts():
-    if os.environ.get('SAUGNS_TPU_CORPUS_FULL') == '1':
+    if os.environ.get('SAUGNS_TPU_CORPUS_FULL', '1') != '0':
         pats = ['examples/**/*.sau', 'devtests/*.sau']
         out = []
         for p in pats:

@@ -74,3 +74,25 @@ def test_bank_rejects_nonuniform():
                                   no_time=True, predef=[]))
     with pytest.raises(ValueError):
         BankRender(prg, 6000)
+
+
+def test_bank_128_voices_snr_gate():
+    """At scale the multi-slab accumulation's f32 reduction order
+    differs from the engine's strict left-to-right VMIX chain (the
+    single-slab case of the other tests IS exact), so the contract at
+    128+ voices is the corpus fidelity gate: >= 90 dB SNR vs the
+    engine render, same shape, same silence."""
+    from saugns_tpu.parallel.voicebank import BankRender
+    prg, srate = _bank(128, duration=0.2)
+    bank = BankRender(prg, srate, mesh=None, ordered_mix=False)
+    mix = np.asarray(bank.render_i16())
+    ref = _engine_render(prg, srate)
+    assert mix.shape == ref.shape
+    err = (mix.astype(np.float64) - ref.astype(np.float64)).ravel()
+    p = (ref.astype(np.float64) ** 2).sum()
+    e = (err ** 2).sum()
+    assert p > 0
+    if e == 0:
+        return
+    snr = 10 * np.log10(p / e)
+    assert snr >= 90.0, '%.1f dB' % snr
