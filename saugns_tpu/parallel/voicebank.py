@@ -324,7 +324,7 @@ class BankRender:
             xs_r = tuple(jax.tree.map(reslab, g)
                          for g in bp.xs_groups)
 
-            def render_all(st, recs, dyn_r, xs_r):
+            def render_all(st, recs, salt, dyn_r, xs_r):
                 def slab_body(acc, args):
                     dyn_s, xs_s = args
                     carry = jax.vmap(
@@ -338,8 +338,11 @@ class BankRender:
                         else jnp.concatenate(parts, axis=0)
                     return acc + part, None
 
+                # salt: per-call no-op input defeating the dev-rig
+                # runtime's identical-call replay cache (see
+                # engine._mono)
                 acc0 = jnp.zeros((bp.gch * bp.nc * bp.B * bp.ng, 2),
-                                 f32)
+                                 f32) + (salt * np.int32(0)).astype(f32)
                 acc, _ = jax.lax.scan(slab_body, acc0, (dyn_r, xs_r))
                 return acc
 
@@ -352,7 +355,9 @@ class BankRender:
 
             if getattr(self, '_render_all', None) is None:
                 self._render_all = jax.jit(render_all)
-            mix = self._render_all(st, recs, dyn_r, xs_r)
+            self._salt = getattr(self, '_salt', 0) + 1
+            mix = self._render_all(st, recs, np.int32(self._salt),
+                                   dyn_r, xs_r)
             return mix[:self._n_valid()]
 
         vspec = PSpec('voices')

@@ -1163,7 +1163,14 @@ class JaxGenerator:
             self._mono_cache = False
             return None
 
-        def mono(st, recs, *dev_args):
+        def mono(st, recs, salt, *dev_args):
+            # salt: a per-call scalar folded in as a no-op so every
+            # render is a distinct (executable, args) call -- the
+            # dev-rig runtime replays repeated identical calls from a
+            # response cache, which corrupts timing measurements
+            # (walls of microseconds for a 60 s render)
+            st = dict(st)
+            st['vdur'] = st['vdur'] + (salt * np.int32(0))
             pieces = []
             for (kind, a, b), arg in zip(items, dev_args):
                 if kind == 'seq':
@@ -1204,7 +1211,9 @@ class JaxGenerator:
         mono = self._mono()
         if mono is not None:
             fn, dev_args = mono
-            return list(fn(self._st0, self._recs_dev, *dev_args))
+            self._salt = getattr(self, '_salt', 0) + 1
+            return list(fn(self._st0, self._recs_dev,
+                           np.int32(self._salt), *dev_args))
         st = self._st0
         pieces = []
         fns = self._epoch_fns()
