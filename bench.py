@@ -30,7 +30,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_RTF_BASELINE = 123.4  # reference binary, this host CPU, 96 kHz
-DEADLINE = float(os.environ.get('BENCH_DEADLINE', '480'))
+DEADLINE = float(os.environ.get('BENCH_DEADLINE', '540'))
 
 # aggregate configs first: if the budget runs out, the JSON line
 # still reflects the headline corpus
