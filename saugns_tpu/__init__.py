@@ -22,4 +22,20 @@ Architecture (see SURVEY.md for the reference layer map):
 __version__ = "0.1.0"
 SAU_VERSION_COMPAT = "v0.4.7"
 
+import os as _os
+
+# Bit-parity with the reference binary requires XLA:CPU not to
+# contract mul+add chains into FMAs (see render/engine.py for the
+# full rationale). XLA parses XLA_FLAGS once, when the first client
+# is created -- and jax.devices() in e.g. parallel.scripts runs
+# before render.engine is imported on the CLI path -- so the guard
+# must be applied at package import, before ANY jax client exists.
+# (A flag set after client creation is silently ignored; the result
+# was +-1-LSB FMA rounding drift on CLI renders only, while direct
+# engine use -- and thus the test suite -- stayed byte-exact.)
+if 'xla_cpu_max_isa' not in _os.environ.get('XLA_FLAGS', '') \
+        and _os.environ.get('SAUGNS_TPU_CPU_FMA') != '1':
+    _os.environ['XLA_FLAGS'] = (_os.environ.get('XLA_FLAGS', '')
+                                + ' --xla_cpu_max_isa=AVX').strip()
+
 from .lang.program import Program, build_program  # noqa: F401

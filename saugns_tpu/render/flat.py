@@ -266,6 +266,52 @@ class FlatSegment:
         self.stage_active = {si: bool(np.any(
             lens[:, ep.stages[si].inst] > 0))
             for si in range(len(ep.stages))}
+        self._analyze_const_lines()
+
+    def _analyze_const_lines(self):
+        """Constant-line analysis: a K_LINE stage whose blocks never
+        carry an active goal holds v0 for every sample (sauLine_run's
+        no-goal path, sau/line.c:417-445), optionally scaled by its
+        multiplier when STATE_RATIO is set -- so its output is a
+        per-block *scalar*, not an (nc, B) buffer. Downstream, a
+        scalar-frequency phase cumsum collapses to an exact affine
+        ramp (inc * count mod 2^32/2^64), replacing the MXU limb
+        prefix scan. This is the shape of every generated voice bank
+        (all parameters constant) and of held parameters in ordinary
+        scripts; outputs stay bitwise identical."""
+        from .engine import LF_GOAL, LF_SRATIO
+        ep, bake = self.ep, self.bake
+        lo, hi = self.seg.lo, self.seg.hi
+        const_ids = set()     # buffer ids scalar-valued *at this point*
+        const_sis = []
+        const_mul = {}
+        scalar_freq = {}      # K_WPHASE/K_RCYCLE si -> freq is scalar
+        for si, st_ in enumerate(ep.stages):
+            if st_.kind == K_LINE:
+                bs = bake.stages.get(si)
+                flags = np.asarray(bs.flags)[lo:hi] \
+                    if bs is not None else None
+                needs_mul = flags is not None \
+                    and bool(np.any(flags & LF_SRATIO)) and st_.a >= 0
+                if flags is not None \
+                        and not np.any(flags & LF_GOAL) \
+                        and (not needs_mul or st_.a in const_ids):
+                    const_ids.add(st_.dst)
+                    const_sis.append(si)
+                    const_mul[si] = needs_mul
+                else:
+                    const_ids.discard(st_.dst)
+                continue
+            if st_.kind in (K_WPHASE, K_RCYCLE):
+                scalar_freq[si] = st_.a in const_ids
+            # every other stage writes dst (K_RCYCLE also dst+1)
+            const_ids.discard(st_.dst)
+            if st_.kind == K_RCYCLE:
+                const_ids.discard(st_.dst + 1)
+        self.const_sis = tuple(const_sis)
+        self.const_mul = tuple(const_mul[si] for si in const_sis)
+        self.scalar_freq = tuple(sorted(
+            si for si, ok in scalar_freq.items() if ok))
 
     # -- device function ---------------------------------------------------
 
@@ -333,6 +379,11 @@ class FlatSegment:
                 carry0['np%d' % si] = _u(st['si'][op, C_NPREV])
             return st, carry0
 
+        from .engine import LF_SRATIO
+        const_set = frozenset(self.const_sis)
+        const_mul = dict(zip(self.const_sis, self.const_mul))
+        sfreq_set = frozenset(self.scalar_freq)
+
         def scan_fn(carry, xs_tables):
             jdsp.get_tables()
             idx_b = jnp.arange(B, dtype=i32)[None, :]
@@ -340,6 +391,7 @@ class FlatSegment:
             def chunk(carry, xs):
                 lens = xs['lens']                      # (nc, n_insts)
                 vals: Dict[int, jnp.ndarray] = {}
+                sval: Dict[int, jnp.ndarray] = {}  # (nc,) scalar rows
                 mixl = jnp.zeros((nc, B), f32)
                 mixr = jnp.zeros((nc, B), f32)
                 new_carry = dict(carry)
@@ -350,50 +402,105 @@ class FlatSegment:
                 def mask_of(s):
                     return idx_b < stage_len(s)[:, None]
 
+                def getb(bid):
+                    """Buffer view of a value (scalar rows broadcast
+                    lazily; XLA fuses the broadcast into consumers)."""
+                    if bid in vals:
+                        return vals[bid]
+                    return jnp.broadcast_to(sval[bid][:, None],
+                                            (nc, B))
+
+                def setb(bid, v):
+                    sval.pop(bid, None)
+                    vals[bid] = v
+
+                def row_ramp(fv, s, cf, dtype, inclusive):
+                    """Exact affine phase run for a scalar-frequency
+                    row: inc * count (mod 2^32/2^64) + exclusive
+                    row-total prefix -- identical (integer) to the
+                    flat prefix sum over masked per-sample incs."""
+                    inc = jdsp.ftoi(cf * fv).astype(dtype)      # (nc,)
+                    ln = stage_len(s)
+                    cap = ln[:, None]
+                    cnt = jnp.minimum(idx_b + (1 if inclusive else 0),
+                                      cap).astype(dtype)
+                    row_tot = inc * ln.astype(dtype)
+                    row_base = jnp.concatenate(
+                        [jnp.zeros(1, dtype),
+                         jnp.cumsum(row_tot)[:-1]])
+                    run = row_base[:, None] + inc[:, None] * cnt
+                    total = row_base[-1] + row_tot[-1]
+                    return run, total
+
                 for si, s in enumerate(stages):
                     kind = s.kind
                     mask2 = mask_of(s)
                     if kind == K_LINE:
                         k = line_pos[si]
+                        if si in const_set:
+                            # goal-less hold: out == v0 (x mul when
+                            # STATE_RATIO) for every sample -- a
+                            # per-row scalar, bitwise equal to the
+                            # line_run_vec no-goal path
+                            v0r = xs['lv0'][k]
+                            if const_mul[si]:
+                                v = jnp.where(
+                                    (xs['lflags'][k]
+                                     & LF_SRATIO) != 0,
+                                    v0r * sval[s.a], v0r)
+                            else:
+                                v = v0r
+                            vals.pop(s.dst, None)
+                            sval[s.dst] = v
+                            continue
                         ls = {'v0': xs['lv0'][k][:, None],
                               'vt': xs['lvt'][k][:, None],
                               'pos': xs['lpos'][k][:, None],
                               'end': xs['lend'][k][:, None],
                               'type': xs['lflags'][k][:, None] * 0,
                               'flags': xs['lflags'][k][:, None]}
-                        mul = vals[s.a] if s.a >= 0 else None
+                        mul = getb(s.a) if s.a >= 0 else None
                         out, _ = line_run_vec(
                             ls, B, stage_len(s)[:, None], mul,
                             static_type=s.ltype, idx=idx_b)
-                        vals[s.dst] = out
+                        setb(s.dst, out)
                     elif kind == K_RANGEMOD:
-                        par = vals[s.dst]
-                        vals[s.dst] = jnp.where(
+                        par = getb(s.dst)
+                        setb(s.dst, jnp.where(
                             mask2,
-                            par + (vals[s.a] - par) * vals[s.b], par)
+                            par + (getb(s.a) - par) * getb(s.b), par))
                     elif kind == K_CONST1:
-                        vals[s.dst] = jnp.ones((nc, B), f32)
+                        setb(s.dst, jnp.ones((nc, B), f32))
                     elif kind == K_ZERO:
-                        vals[s.dst] = jnp.zeros((nc, B), f32)
+                        setb(s.dst, jnp.zeros((nc, B), f32))
                     elif kind == K_NOISE:
+                        sval.pop(s.dst, None)
                         self._noise_stage(s, si, xs, carry, new_carry,
                                           vals, mask2, noise_pos,
                                           state_pos, nc, B, idx_b)
                     elif kind == K_WPHASE:
-                        freq = vals[s.a]
-                        incs = jnp.where(
-                            mask2, jdsp.ftoi(coeff * freq).astype(u32),
-                            np.uint32(0))
-                        run_flat = jdsp.prefix_sum(
-                            incs.reshape(nc * B))
-                        run = carry['ph%d' % si] \
-                            + run_flat.reshape(nc, B)
-                        ofs = self._phase_ofs(s, vals, freq,
+                        if si in sfreq_set:
+                            run, total = row_ramp(sval[s.a], s, coeff,
+                                                  u32, True)
+                            run = carry['ph%d' % si] + run
+                        else:
+                            freq = getb(s.a)
+                            incs = jnp.where(
+                                mask2,
+                                jdsp.ftoi(coeff * freq).astype(u32),
+                                np.uint32(0))
+                            run_flat = jdsp.prefix_sum(
+                                incs.reshape(nc * B))
+                            run = carry['ph%d' % si] \
+                                + run_flat.reshape(nc, B)
+                            total = run_flat[-1]
+                        ofs = self._phase_ofs(s, getb,
                                               jdsp.P31, u32, (nc, B))
-                        vals[s.dst] = ofs + run
+                        setb(s.dst, ofs + run)
                         new_carry['ph%d' % si] = carry['ph%d' % si] \
-                            + run_flat[-1]
+                            + total
                     elif kind == K_WRUN:
+                        sval.pop(s.dst, None)
                         self._wrun_stage(s, si, xs, carry, new_carry,
                                          vals, mask2, stage_len(s),
                                          state_pos, nc, B, SLENu)
@@ -403,35 +510,44 @@ class FlatSegment:
                             else coeff
                         pscale = np.float32(jdsp.P31 * 2) if r2x \
                             else jdsp.P31
-                        freq = vals[s.a]
-                        incs = jnp.where(
-                            mask2,
-                            jdsp.ftoi(coeff_e * freq).astype(u64),
-                            np.uint64(0))
-                        csum_flat = jdsp.prefix_sum(
-                            incs.reshape(nc * B))
-                        csum = csum_flat.reshape(nc, B)
-                        base = carry['cp%d' % si] + (csum - incs)
-                        ofs = self._phase_ofs(s, vals, freq, pscale,
+                        if si in sfreq_set:
+                            excl, total = row_ramp(sval[s.a], s,
+                                                   coeff_e, u64, False)
+                            base = carry['cp%d' % si] + excl
+                        else:
+                            freq = getb(s.a)
+                            incs = jnp.where(
+                                mask2,
+                                jdsp.ftoi(coeff_e * freq).astype(u64),
+                                np.uint64(0))
+                            csum_flat = jdsp.prefix_sum(
+                                incs.reshape(nc * B))
+                            csum = csum_flat.reshape(nc, B)
+                            base = carry['cp%d' % si] + (csum - incs)
+                            total = csum_flat[-1]
+                        ofs = self._phase_ofs(s, getb, pscale,
                                               u64, (nc, B))
                         cph = ofs + base
-                        vals[s.dst] = (cph >> np.uint64(32)).astype(u32)
+                        setb(s.dst,
+                             (cph >> np.uint64(32)).astype(u32))
                         phs = cph.astype(u32) >> np.uint32(1)
-                        vals[s.dst + 1] = jdsp.asi32(phs).astype(f32) \
-                            * jdsp.SCALE31
+                        setb(s.dst + 1,
+                             jdsp.asi32(phs).astype(f32)
+                             * jdsp.SCALE31)
                         new_carry['cp%d' % si] = carry['cp%d' % si] \
-                            + csum_flat[-1]
+                            + total
                     elif kind == K_RRUN:
                         rline, func, level, alpha, oflags, _ = s.ras
                         av, bv = jdsp.rasg_map(func, level, alpha,
-                                               oflags, vals[s.a])
-                        vals[s.dst] = jdsp.rasg_shape(
-                            rline, oflags, vals[s.dst], av, bv)
+                                               oflags, getb(s.a))
+                        setb(s.dst, jdsp.rasg_shape(
+                            rline, oflags, getb(s.dst), av, bv))
                     elif kind == K_MIX:
-                        src = vals[s.a]
-                        amp = vals[s.b]
-                        prev = vals.get(s.dst,
-                                        jnp.zeros((nc, B), f32)) \
+                        src = getb(s.a)
+                        amp = getb(s.b)
+                        prev = (getb(s.dst)
+                                if s.dst in vals or s.dst in sval
+                                else jnp.zeros((nc, B), f32)) \
                             if s.layer else jnp.zeros((nc, B), f32)
                         if s.wave_env:
                             s_amp = amp * np.float32(0.5)
@@ -441,13 +557,13 @@ class FlatSegment:
                             new = prev + src * amp if s.layer \
                                 else src * amp
                         if s.layer:
-                            vals[s.dst] = jnp.where(mask2, new, prev)
+                            setb(s.dst, jnp.where(mask2, new, prev))
                         else:
-                            vals[s.dst] = jnp.where(mask2, new,
-                                                    np.float32(0.0))
+                            setb(s.dst, jnp.where(mask2, new,
+                                                  np.float32(0.0)))
                     elif kind == K_VMIX:
-                        pan = vals[s.dst]
-                        sv = vals[s.a] * amp_scale
+                        pan = getb(s.dst)
+                        sv = getb(s.a) * amp_scale
                         sr = sv * pan
                         mixl = mixl + jnp.where(mask2, sv - sr,
                                                 np.float32(0))
@@ -531,7 +647,8 @@ class FlatSegment:
 
         key = (stage_sig, self.B, self.nc, self.gch, srate,
                float(amp_scale), plan.n_ops, plan.n_voices,
-               plan.n_recs)
+               plan.n_recs, self.const_sis, self.const_mul,
+               self.scalar_freq)
         self._key = key
         fns = FlatSegment._cache.get(key)
         if fns is None:
@@ -548,14 +665,15 @@ class FlatSegment:
     # -- stage helpers (traced inside chunk) -------------------------------
 
     @staticmethod
-    def _phase_ofs(s, vals, freq, pscale, dtype, shape):
+    def _phase_ofs(s, getb, pscale, dtype, shape):
         if s.b >= 0 and s.c >= 0:
-            s_pofs = vals[s.b] + vals[s.c] * jdsp.HUMMID_INV * freq
+            s_pofs = getb(s.b) \
+                + getb(s.c) * jdsp.HUMMID_INV * getb(s.a)
             return jdsp.ftoi(s_pofs * pscale).astype(dtype)
         if s.b >= 0:
-            return jdsp.ftoi(vals[s.b] * pscale).astype(dtype)
+            return jdsp.ftoi(getb(s.b) * pscale).astype(dtype)
         if s.c >= 0:
-            s_pofs = vals[s.c] * jdsp.HUMMID_INV * freq
+            s_pofs = getb(s.c) * jdsp.HUMMID_INV * getb(s.a)
             return jdsp.ftoi(s_pofs * pscale).astype(dtype)
         return jnp.zeros(shape, dtype)
 

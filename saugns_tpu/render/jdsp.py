@@ -633,9 +633,13 @@ def _herp_df64(s0, s1, s2, s3, x):
 
 
 def _Is_df64(wave: int, ph_u32, taps=None):
-    """df64 (hi, lo) pair for Is(phase): one tap gather (the Pallas
-    MXU one-hot kernel on TPU) + the df64 Hermite. Works for any
-    shape; scalar phases use the dynamic-slice tap path."""
+    """df64 (hi, lo) pair for Is(phase): on TPU one fused Pallas
+    launch (window lane-gathers + in-kernel df64 Hermite); elsewhere
+    a tap gather + the XLA df64 Hermite -- bitwise identical (same
+    IEEE f32 ops in the same order). Scalar phases use the
+    dynamic-slice tap path."""
+    if taps is None and ph_u32.ndim == 1 and _fused_is_available():
+        return _gather_is_fused(ph_u32, wave)
     x = (ph_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     if taps is None:
         if ph_u32.ndim == 0:
@@ -1249,6 +1253,157 @@ def _gather_taps_pallas(cells, tapmat):
     )(cells2, tapmat, gmat)
 
 
+# -- Pallas window lane-gather (TPU, default) ---------------------------------
+#
+# Mosaic lowers 2D ``jnp.take_along_axis(x, idx, axis=1)`` to
+# ``tpu.dynamic_gather`` -- a VPU cross-lane gather within each
+# 128-lane row, at any sublane count. A 2048-cell PILUT is 16 lane
+# windows of 128; per tap the kernel gathers every window at the
+# sample's low 7 index bits and select-accumulates by the high 4 bits
+# (the 16-way where chain). No bf16 limb split (values move as raw
+# f32 bits), no MXU dots, no mask matmuls. Measured on v5e: 0.29 ns
+# per sample-tap-set vs 1.06 for the one-hot MXU kernel -- 3.7x --
+# and bit-exact. The fused variant also evaluates the df64 Hermite
+# in-kernel (phases in, Is hi/lo out): 0.32 ns per sample for the
+# whole Is computation vs 1.11 for kernel+XLA-fusion, and bitwise
+# identical to the XLA df64 chain (same IEEE f32 ops, same order).
+
+_win_tabs = None
+_W_TILE = 16384
+
+
+def _build_window_tabs():
+    """(12, 16, 128) f32: per wave, the raw f32 PILUT split into 16
+    contiguous 128-lane windows (tab[w, l] = pilut[w*128 + l])."""
+    global _win_tabs
+    if _win_tabs is not None:
+        return _win_tabs
+    _, piluts = W.get_tables()
+    tabs = np.asarray(piluts, np.float32).reshape(12, 16, 128)
+    with jax.ensure_compile_time_eval():
+        _win_tabs = jnp.asarray(tabs)
+    return _win_tabs
+
+
+def _lane_gather(x, idx):
+    """out[r, l] = x[r, idx[r, l]] -- the 2D lane-dim dynamic gather
+    Mosaic lowers to ``tpu.dynamic_gather``. Built directly on
+    lax.gather with i32 indices (jnp.take_along_axis mints int64
+    index math under jax_enable_x64, which Mosaic rejects)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,),
+        start_index_map=(1,), operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        x, idx[:, :, None].astype(i32), dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _window_taps_body(tab_ref, cell, R, taps_needed=4):
+    """Shared kernel body: 4 Hermite taps (cells cell-1..cell+2) via
+    16-window lane gathers; cell: (R, 128) i32 in [0, 2048)."""
+    taps = []
+    for t in range(taps_needed):
+        c = (cell + np.int32(t - 1)) & np.int32(2047)
+        hi = c >> np.int32(7)
+        lo = c & np.int32(127)
+        acc = jnp.zeros((R, 128), f32)
+        for w in range(16):
+            tw = jnp.broadcast_to(tab_ref[w, :][None, :], (R, 128))
+            g = _lane_gather(tw, lo)
+            acc = jnp.where(hi == np.int32(w), g, acc)
+        taps.append(acc)
+    return taps
+
+
+def _gather_taps_window(cells, tab):
+    """cells: (B,) i32 in [0, 2048), B a multiple of _W_TILE;
+    tab: (16, 128) f32 window table. Returns (4, B) f32 exact taps."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = cells.shape[0]
+    TILE = _W_TILE
+    R = TILE // 128
+
+    def kernel(idx_ref, tab_ref, out_ref):
+        taps = _window_taps_body(tab_ref, idx_ref[:, :], R)
+        for t in range(4):
+            out_ref[t, :, :] = taps[t]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // TILE,),
+        in_specs=[pl.BlockSpec((R, 128),
+                               lambda i: (i, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, 128),
+                               lambda i: (np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((4, R, 128),
+                               lambda i: (np.int32(0), i, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, B // 128, 128), f32),
+    )(cells.reshape(B // 128, 128), tab)
+    return out.reshape(4, B)
+
+
+def _gather_is_window(ph_i32, tab):
+    """Fused Is: phases (B,) i32-bitcast u32, B a multiple of _W_TILE;
+    returns (2, B) f32 -- the df64 (hi, lo) pair of Is(phase), bitwise
+    identical to gather_taps + _herp_df64 (same ops, same order)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = ph_i32.shape[0]
+    TILE = _W_TILE
+    R = TILE // 128
+
+    def kernel(ph_ref, tab_ref, out_ref):
+        ph = ph_ref[:, :]
+        cell = jax.lax.shift_right_logical(ph, np.int32(SLENBITS))
+        x = (ph & np.int32(W.SLENMASK)).astype(f32) * X_SCALE
+        taps = _window_taps_body(tab_ref, cell, R)
+        h, l = _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
+        out_ref[0, :, :] = h
+        out_ref[1, :, :] = l
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // TILE,),
+        in_specs=[pl.BlockSpec((R, 128),
+                               lambda i: (i, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, 128),
+                               lambda i: (np.int32(0), np.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2, R, 128),
+                               lambda i: (np.int32(0), i, np.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, B // 128, 128), f32),
+    )(ph_i32.reshape(B // 128, 128), tab)
+    return out.reshape(2, B)
+
+
+def _tap_kernel_mode():
+    """'window' (default) or 'onehot' (SAUGNS_TPU_TAPKERNEL)."""
+    return os.environ.get('SAUGNS_TPU_TAPKERNEL', 'window')
+
+
+def _fused_is_available():
+    return _on_tpu() and _tap_kernel_mode() == 'window'
+
+
+def _gather_is_fused(ph_u32, wave: int):
+    """Fused-kernel Is for a phase buffer (TPU window mode only)."""
+    B = ph_u32.shape[0]
+    pad = (-B) % _W_TILE
+    ph_i = jax.lax.bitcast_convert_type(ph_u32, i32)
+    if pad:
+        ph_i = jnp.concatenate([ph_i, jnp.zeros(pad, i32)])
+    tabs = _build_window_tabs()
+    out = _gather_is_window(ph_i, tabs[wave])
+    return out[0, :B], out[1, :B]
+
+
 def _on_tpu():
     try:
         return jax.devices()[0].platform in ('tpu', 'axon')
@@ -1271,13 +1426,17 @@ def gather_taps(cells, wave):
     """Hermite taps for each cell index as rows: (4, B) with rows
     (s[-1], s0, s1, s2); exact float32 table values. ``wave`` must be
     a python int (the planner bakes it per epoch). Uses the Pallas
-    MXU two-level one-hot kernel on TPU, plain indexing elsewhere."""
+    window lane-gather kernel on TPU (SAUGNS_TPU_TAPKERNEL=onehot
+    restores the MXU one-hot kernel), plain indexing elsewhere."""
     assert isinstance(wave, int)
     if _on_tpu():
         B = cells.shape[0]
         pad = (-B) % 16384
         cp = jnp.concatenate([cells, jnp.zeros(pad, i32)]) if pad \
             else cells
+        if _tap_kernel_mode() == 'window':
+            return _gather_taps_window(
+                cp, _build_window_tabs()[wave])[:, :B]
         mats = _build_tap_mats()
         return _gather_taps_pallas(cp, mats[wave])[0:4, :B]
     _, piluts = get_tables()
