@@ -120,6 +120,22 @@ def _self_check():
             ok = False
             print('# SELF-CHECK FAIL: tap gather wave %d: %d '
                   'mismatches' % (w, n), file=sys.stderr, flush=True)
+    # forward-fill kernel (TPU-only path; CPU tests never run it)
+    rng = np.random.RandomState(1)
+    n = 50000
+    s = rng.randn(n).astype(np.float32)
+    valid = rng.rand(n) < 0.5
+    seed = np.float32(2.5)
+    out = np.asarray(jdsp.forward_fill_last_valid(
+        jnp.asarray(s), jnp.asarray(valid), jnp.float32(seed)))
+    idx = np.where(valid, np.arange(1, n + 1), 0)
+    np.maximum.accumulate(idx, out=idx)
+    ref = np.concatenate([[seed], s])[idx]
+    n_bad = int((out != ref).sum())
+    if n_bad:
+        ok = False
+        print('# SELF-CHECK FAIL: forward fill: %d mismatches'
+              % n_bad, file=sys.stderr, flush=True)
     prg = build_program(ScriptArg(str='Wsin', is_path=False,
                                   no_time=True, predef=[]))
     g = JaxGenerator(prg, SRATE)

@@ -167,10 +167,17 @@ class BankPlan:
         ep = self.plan.epochs[self.main_ei]
         bake = self.sim.bakes[self.main_ei]
         segs = []
-        # small per-voice chunks: the bank body is vmapped over the
-        # slab axis, and Mosaic compile time explodes with the
-        # per-chunk working set (see FlatSegment chunk_samples)
-        chunk = 2 * self.plan.epochs[self.main_ei].block
+        # per-voice chunk size: the Pallas kernels flatten vmapped
+        # batches into the sample axis (jdsp._flatten_batch), so the
+        # old Mosaic working-set cap no longer binds -- but small
+        # chunks still win (sweep on a 1024-voice 8 s bank on v5e:
+        # 2 blocks = 1.69 s, 4 = 1.82 s, 6 = 1.94 s, 12 = 2.21 s;
+        # larger chunks grow the HBM working set faster than they
+        # shave launches)
+        import os as _os
+        nblk = int(_os.environ.get('SAUGNS_TPU_BANK_CHUNK_BLOCKS',
+                                   '2'))
+        chunk = self.plan.epochs[self.main_ei].block * nblk
         for k, (sl, view) in enumerate(zip(self.slices, self.views)):
             vb = _bake_view(bake, sl, view)
             fs = FlatSegment(self.plan, view, vb, vb.segments[0],
@@ -340,9 +347,10 @@ class BankRender:
 
                 # salt: per-call no-op input defeating the dev-rig
                 # runtime's identical-call replay cache (see
-                # engine._mono)
+                # jdsp.salt_zero; a foldable `salt * 0` lets XLA prune
+                # the parameter and repeat calls replay)
                 acc0 = jnp.zeros((bp.gch * bp.nc * bp.B * bp.ng, 2),
-                                 f32) + (salt * np.int32(0)).astype(f32)
+                                 f32) + jdsp.salt_zero(salt)
                 acc, _ = jax.lax.scan(slab_body, acc0, (dyn_r, xs_r))
                 return acc
 

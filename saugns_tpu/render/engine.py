@@ -1170,7 +1170,8 @@ class JaxGenerator:
             # response cache, which corrupts timing measurements
             # (walls of microseconds for a 60 s render)
             st = dict(st)
-            st['vdur'] = st['vdur'] + (salt * np.int32(0))
+            st['vdur'] = st['vdur'] + jdsp.salt_zero(salt).astype(
+                st['vdur'].dtype)
             pieces = []
             for (kind, a, b), arg in zip(items, dev_args):
                 if kind == 'seq':

@@ -107,6 +107,13 @@ def _last_valid_fill(s_raw, valid, in_range, seed):
     pd == 0 samples) takes a conditional into the gather-free
     associative scan (combine keeps the right operand when valid;
     index-then-gather would serialize on TPU)."""
+    if jdsp._on_tpu() and jdsp._tap_kernel_mode() == 'window':
+        # one sequential-grid Pallas pass (VMEM log-doubling + SMEM
+        # carry): scan semantics at every position, no cond -- under
+        # vmap a lax.cond lowers to select and BOTH branches run,
+        # which made the scan tree's per-level slice/pad HBM round
+        # trips ~60% of a 1024-voice bank's device time
+        return jdsp.forward_fill_last_valid(s_raw, valid, seed)
     bad = (~valid) & in_range
     # a valid source precedes position i if sample i-1 is valid; the
     # seed is always a source at position 0

@@ -1316,6 +1316,25 @@ def _window_taps_body(tab_ref, cell, R, taps_needed=4):
     return taps
 
 
+def _flatten_batch(call, out_rows):
+    """custom_vmap rule factory: a vmapped window-kernel call runs as
+    ONE flat kernel over batch*samples instead of a batched grid --
+    the sample axis is the only thing the kernel cares about, the
+    batched lowering multiplies Mosaic compile time (a 32-wide vmap
+    of the bank body spent 20+ minutes in kernel compiles), and one
+    flat shape shares one compiled kernel across every consumer."""
+    def rule(axis_size, in_batched, data, tab):
+        assert not in_batched[1], 'window table must be unbatched'
+        if not in_batched[0]:
+            out = call(data, tab)
+            return out, False
+        V, B = data.shape
+        out = call(data.reshape(V * B), tab)
+        out = jnp.moveaxis(out.reshape(out_rows, V, B), 1, 0)
+        return out, True
+    return rule
+
+
 def _gather_taps_window(cells, tab):
     """cells: (B,) i32 in [0, 2048), B a multiple of _W_TILE;
     tab: (16, 128) f32 window table. Returns (4, B) f32 exact taps."""
@@ -1381,6 +1400,172 @@ def _gather_is_window(ph_i32, tab):
         out_shape=jax.ShapeDtypeStruct((2, B // 128, 128), f32),
     )(ph_i32.reshape(B // 128, 128), tab)
     return out.reshape(2, B)
+
+
+# vmap flattens into the sample axis (see _flatten_batch)
+_gather_taps_window = jax.custom_batching.custom_vmap(
+    _gather_taps_window)
+_gather_taps_window.def_vmap(_flatten_batch(_gather_taps_window, 4))
+_gather_is_window = jax.custom_batching.custom_vmap(_gather_is_window)
+_gather_is_window.def_vmap(_flatten_batch(_gather_is_window, 2))
+
+
+# -- Pallas forward fill (TPU) -------------------------------------------------
+#
+# out[i] = s[j] at the last valid j <= i (seed if none): the flat
+# form of wosc's pd == 0 hold. The XLA formulation is a lax.cond
+# between a 1-shift fast path and a log-depth associative scan; under
+# vmap (voice banks) cond lowers to select and BOTH branches always
+# execute -- the scan tree's per-level slice/pad kernels round-trip
+# HBM and dominated a 1024-voice render (2.4 s of `slice` out of
+# 4.1 s device busy). This kernel does the whole fill in one pass:
+# within-tile log-doubling entirely in VMEM (pltpu.roll lane/sublane
+# shifts), cross-tile via a scalar carry in SMEM scratch (TPU grid
+# iterations run sequentially). Produces the scan ("slow") semantics
+# at every position, which is what the flat path needs.
+
+def _flat_shift(x, k, R, fill):
+    """y[i] = x[i-k] over the row-major (R, 128) flat order; the
+    first k positions get ``fill``. k: a power of two (so it is
+    either a pure lane shift or a pure row shift)."""
+    from jax.experimental.pallas import tpu as pltpu
+    lanes = k % 128
+    rows = k // 128
+    y = x
+    if lanes:
+        a = pltpu.roll(y, np.int32(lanes), 1)
+        b = pltpu.roll(a, np.int32(1), 0)
+        lane = jax.lax.broadcasted_iota(i32, (R, 128), 1)
+        y = jnp.where(lane >= np.int32(lanes), a, b)
+    if rows:
+        y = pltpu.roll(y, np.int32(rows), 0)
+    idx = (jax.lax.broadcasted_iota(i32, (R, 128), 0) * np.int32(128)
+           + jax.lax.broadcasted_iota(i32, (R, 128), 1))
+    return jnp.where(idx >= np.int32(k), y, fill)
+
+
+def _ffill_kernel_factory(TILE, tpv):
+    from jax.experimental import pallas as pl
+    R = TILE // 128
+
+    def kernel(s_ref, m_ref, seeds_ref, out_ref, carry_ref):
+        gi = pl.program_id(0)
+        v = gi // np.int32(tpv)
+        start = (gi % np.int32(tpv)) == 0
+        carry = jnp.where(start, seeds_ref[v], carry_ref[0])
+        val = s_ref[:, :]
+        f = (m_ref[:, :] != 0).astype(f32)
+        # log-doubling: after the loop, val[i] = s at the last valid
+        # j <= i within the tile, f[i] = any valid <= i. Slots with
+        # f == 0 may hold garbage; the final select masks them.
+        k = 1
+        while k < TILE:
+            v2 = _flat_shift(val, k, R, np.float32(0.0))
+            f2 = _flat_shift(f, k, R, np.float32(0.0))
+            take = f == np.float32(0.0)
+            val = jnp.where(take, v2, val)
+            f = jnp.where(take, f2, f)
+            k *= 2
+        out = jnp.where(f != np.float32(0.0), val, carry)
+        out_ref[:, :] = out
+        row = jax.lax.broadcasted_iota(i32, (R, 128), 0)
+        lane = jax.lax.broadcasted_iota(i32, (R, 128), 1)
+        is_last = (row == np.int32(R - 1)) & (lane == np.int32(127))
+        carry_ref[0] = jnp.sum(jnp.where(is_last, out,
+                                         np.float32(0.0)))
+    return kernel
+
+
+def _forward_fill_flat(s, m_i32, seeds, tpv):
+    """s, m: (N,) f32/i32 with N a multiple of _W_TILE; seeds: (V,)
+    f32, one per ``tpv``-tile span. Returns the filled (N,)."""
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+    N = s.shape[0]
+    TILE = _W_TILE
+    R = TILE // 128
+    grid = (N // TILE,)
+    nv = seeds.shape[0]
+    out = pl_.pallas_call(
+        _ffill_kernel_factory(TILE, tpv),
+        grid=grid,
+        in_specs=[pl_.BlockSpec((R, 128),
+                                lambda i: (i, np.int32(0)),
+                                memory_space=pltpu.VMEM),
+                  pl_.BlockSpec((R, 128),
+                                lambda i: (i, np.int32(0)),
+                                memory_space=pltpu.VMEM),
+                  pl_.BlockSpec((nv,), lambda i: (np.int32(0),),
+                                memory_space=pltpu.SMEM)],
+        out_specs=pl_.BlockSpec((R, 128),
+                                lambda i: (i, np.int32(0)),
+                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N // 128, 128), f32),
+        scratch_shapes=[pltpu.SMEM((1,), f32)],
+    )(s.reshape(N // 128, 128), m_i32.reshape(N // 128, 128), seeds)
+    return out.reshape(N)
+
+
+def forward_fill_last_valid(s, valid, seed):
+    """Scan-semantics forward fill of a flat buffer: out[i] = s at the
+    last j <= i with valid[j], else ``seed``. Pallas kernel on TPU;
+    the XLA associative scan elsewhere. Under vmap the batch flattens
+    into one kernel launch with per-row seeds and carry resets at row
+    boundaries (rows are padded to tile multiples)."""
+    if _on_tpu() and _tap_kernel_mode() == 'window':
+        return _ffill_entry(s, valid.astype(i32), seed.astype(f32))
+    v0 = jnp.where(valid, s, seed)
+    vals, _ = jax.lax.associative_scan(
+        lambda a, b: (jnp.where(b[1], b[0], a[0]), a[1] | b[1]),
+        (v0, valid))
+    return vals
+
+
+@jax.custom_batching.custom_vmap
+def _ffill_entry(s, m, seed):
+    N = s.shape[0]
+    pad = (-N) % _W_TILE
+    if pad:
+        s = jnp.concatenate([s, jnp.zeros(pad, f32)])
+        m = jnp.concatenate([m, jnp.zeros(pad, i32)])
+    out = _forward_fill_flat(s, m, jnp.reshape(seed, (1,)),
+                             (N + pad) // _W_TILE)
+    return out[:N]
+
+
+@_ffill_entry.def_vmap
+def _ffill_vmap(axis_size, in_batched, s, m, seed):
+    sb, mb, eb = in_batched
+    if not sb:
+        out = _ffill_entry(s, m, seed)
+        return out, False
+    if not mb:
+        m = jnp.broadcast_to(m[None], s.shape)
+    V, N = s.shape
+    pad = (-N) % _W_TILE
+    if pad:
+        s = jnp.concatenate([s, jnp.zeros((V, pad), f32)], axis=1)
+        m = jnp.concatenate([m, jnp.zeros((V, pad), i32)], axis=1)
+    seeds = seed.astype(f32) if eb else \
+        jnp.broadcast_to(jnp.reshape(seed, (1,)).astype(f32), (V,))
+    out = _forward_fill_flat(s.reshape(V * (N + pad)),
+                             m.reshape(V * (N + pad)),
+                             seeds, (N + pad) // _W_TILE)
+    return out.reshape(V, N + pad)[:, :N], True
+
+
+def salt_zero(salt):
+    """Always +0.0f, but unfoldable: the per-call salt must stay live
+    in the compiled executable so the dev-rig runtime's identical-call
+    replay cache never hits (a folded `salt * 0` lets XLA prune the
+    parameter, making repeat renders byte-identical calls that the
+    runtime answers from cache with microsecond walls). The
+    optimization barrier blocks constant propagation; min(abs(x), 0)
+    needs range analysis XLA does not do."""
+    sb = jax.lax.optimization_barrier(salt.astype(f32)
+                                      if hasattr(salt, 'astype')
+                                      else jnp.float32(salt))
+    return jnp.minimum(jnp.abs(sb), np.float32(0.0))
 
 
 def _tap_kernel_mode():
