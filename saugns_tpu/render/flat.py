@@ -72,12 +72,12 @@ def _i(x):
 
 def _row_fill(row_vals, row_active, seed):
     """Per-row carry fill: out[r] = row_vals at the last active row
-    <= r, or ``seed`` if none yet. Rows are few (<= chunk blocks), so
-    a log-depth scan on (nc,) is negligible."""
+    <= r, or ``seed`` if none yet. Rows are few (<= chunk blocks);
+    lax.cummax keeps the lowering to XLA's native cumulative path
+    (same integer results as the old associative_scan(maximum))."""
     nc = row_vals.shape[0]
     ridx = jnp.arange(nc, dtype=i32)
-    last = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(row_active, ridx + 1, 0))
+    last = jax.lax.cummax(jnp.where(row_active, ridx + 1, 0), axis=0)
     ext = jnp.concatenate([jnp.reshape(seed, (1,) + row_vals.shape[1:]),
                            row_vals])
     return ext[last]
