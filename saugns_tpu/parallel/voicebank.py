@@ -17,8 +17,10 @@ by the flat renderer -- across a ``jax.sharding.Mesh``:
   TPU-native form of the reference's mix accumulation loop.
 
 Per-device accumulation is *ordered* over local voices (ascending
-voice id), which makes a 1-device mesh bit-identical to the plain
-engine; across multiple devices the psum reduction order differs, so
+voice id, the default), and multi-slab single-device renders thread
+the partial through each slab's chain -- so any single-device render
+is bit-identical to the plain engine at any voice count. Across
+multiple devices the psum reduction order differs, so
 cross-device-count comparisons are exact only to f32 reduction
 rounding (well below int16 quantization in practice).
 """
@@ -248,22 +250,40 @@ class BankRender:
                              + self.bp.why)
         self.bp.build()
         self.mesh = mesh
-        V = self.bp.n_voices
-        self.ordered_mix = ordered_mix if ordered_mix is not None \
-            else (V <= 64)
+        # default: exact. Single-device renders (any voice count, any
+        # slab split) then reproduce the engine's left-to-right VMIX
+        # chain bit-for-bit; the chain is unrolled and fuses to
+        # ~one-pass bandwidth, so there is no speed reason to give
+        # exactness up. Pass ordered_mix=False for a tree-sum mix
+        # (what a multi-device psum does across devices anyway).
+        self.ordered_mix = True if ordered_mix is None else ordered_mix
 
-    def _mix_local(self, outs):
+    def _mix_local(self, outs, acc=None):
         """outs: (V_local, gch, nc, B, 2) -> (gch*nc*B, 2), summing
         voices. Ordered (ascending id, matching the engine's VMIX
-        chain) when requested -- f32 adds are order-sensitive."""
+        chain) when requested -- f32 adds are order-sensitive.
+        ``acc`` continues the chain from an earlier slab's partial at
+        the same sample positions, keeping the whole multi-slab
+        accumulation exactly the engine's left-to-right order."""
         V = outs.shape[0]
         flat = outs.reshape(V, -1, 2)
         if self.ordered_mix:
-            def body(k, acc):
-                return acc + flat[k]
-            mix = jax.lax.fori_loop(1, V, body, flat[0])
+            init = flat[0] if acc is None else acc + flat[0]
+            if V <= 256:
+                # unrolled: XLA fuses the whole dependency chain into
+                # one (or a few) elementwise passes -- exact order at
+                # one-pass bandwidth, no per-iteration launches
+                mix = init
+                for k in range(1, V):
+                    mix = mix + flat[k]
+            else:
+                def body(k, a):
+                    return a + flat[k]
+                mix = jax.lax.fori_loop(1, V, body, init)
         else:
             mix = jnp.sum(flat, axis=0)
+            if acc is not None:
+                mix = acc + mix
         return mix
 
     def _vfns(self):
@@ -306,10 +326,11 @@ class BankRender:
             # eager per-slab dispatch loop cost ~20 device round
             # trips per slab (128 slabs at 1024 voices never finished
             # inside the bench budget through the dev-rig tunnel).
-            # Slabs accumulate in ascending voice order; within a
-            # slab the mix is ordered when ordered_mix is set, so a
-            # single-slab render (every correctness test) is exactly
-            # the engine's left-to-right VMIX chain.
+            # Slabs accumulate in ascending voice order; with
+            # ordered_mix each slab continues the chain from the
+            # previous slab's partial, so the whole render -- any
+            # voice count, any slab split -- is exactly the engine's
+            # left-to-right VMIX chain.
             V = bp.n_voices
             samples_pv = bp.nb * bp.B
             # wide slabs amortize per-kernel launch overhead (the
@@ -317,7 +338,12 @@ class BankRender:
             # at slab 8 a 1024-voice render was launch-bound at
             # ~6.7 s); the per-chunk working set stays bounded by
             # chunk_samples, so the budget here is output-buffer HBM
-            slab = max(1, min(V, (1 << 25) // max(samples_pv, 1)))
+            # (env override exists so tests can force multi-slab
+            # splits on tiny banks)
+            import os as _os
+            budget = int(_os.environ.get(
+                'SAUGNS_TPU_BANK_SLAB_BUDGET', str(1 << 25)))
+            slab = max(1, min(V, budget // max(samples_pv, 1)))
             # shrink to a divisor of V: a remainder slab would mint a
             # second (differently-shaped) executable for no gain
             while V % slab:
@@ -331,19 +357,26 @@ class BankRender:
             xs_r = tuple(jax.tree.map(reslab, g)
                          for g in bp.xs_groups)
 
+            glen = bp.gch * bp.nc * bp.B
+
             def render_all(st, recs, salt, dyn_r, xs_r):
                 def slab_body(acc, args):
                     dyn_s, xs_s = args
                     carry = jax.vmap(
                         lambda d: init_one_of(st, recs, d))(dyn_s)
+                    # each slab continues the left-to-right voice
+                    # chain from the previous slab's partial (exact
+                    # VMIX order even multi-slab; a post-hoc
+                    # `acc + part` would reassociate the f32 adds)
                     parts = []
                     for g in range(len(xs_s)):
                         carry, outs = jax.vmap(scan_fn)(
                             carry, xs_s[g])
-                        parts.append(self._mix_local(outs))
+                        parts.append(self._mix_local(
+                            outs, acc[g * glen:(g + 1) * glen]))
                     part = parts[0] if len(parts) == 1 \
                         else jnp.concatenate(parts, axis=0)
-                    return acc + part, None
+                    return part, None
 
                 # salt: per-call no-op input defeating the dev-rig
                 # runtime's identical-call replay cache (see

@@ -76,11 +76,28 @@ def test_bank_rejects_nonuniform():
         BankRender(prg, 6000)
 
 
-def test_bank_128_voices_snr_gate():
-    """At scale the multi-slab accumulation's f32 reduction order
-    differs from the engine's strict left-to-right VMIX chain (the
-    single-slab case of the other tests IS exact), so the contract at
-    128+ voices is the corpus fidelity gate: >= 90 dB SNR vs the
+def test_bank_128_voices_multislab_exact(monkeypatch):
+    """At scale the render splits into voice slabs; each slab's
+    ordered chain continues from the previous slab's partial, so the
+    whole accumulation is exactly the engine's left-to-right VMIX
+    chain -- bit-identical at any voice count. Force a multi-slab
+    split (the tiny test bank would otherwise fit one slab) via the
+    slab-budget override."""
+    from saugns_tpu.parallel.voicebank import BankRender
+    prg, srate = _bank(128, duration=0.2)
+    # samples_pv = 1200 -> budget 38400 gives slab 32, 4 slabs
+    monkeypatch.setenv('SAUGNS_TPU_BANK_SLAB_BUDGET', '38400')
+    bank = BankRender(prg, srate, mesh=None)  # ordered by default
+    mix = np.asarray(bank.render_i16())
+    ref = _engine_render(prg, srate)
+    assert mix.shape == ref.shape
+    assert np.array_equal(mix, ref)
+
+
+def test_bank_128_voices_unordered_snr_gate():
+    """The opt-in tree-sum mix (ordered_mix=False, also what a
+    multi-device psum does across devices) reassociates the f32 adds;
+    its contract is the corpus fidelity gate: >= 90 dB SNR vs the
     engine render, same shape, same silence."""
     from saugns_tpu.parallel.voicebank import BankRender
     prg, srate = _bank(128, duration=0.2)
