@@ -2,7 +2,7 @@
 """Benchmark: realtime factor of the TPU render engine on the
 reference's headline configs (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 value = aggregate realtime factor (audio-seconds per wall-second) over
 the headline example scripts at 96 kHz stereo, steady-state
@@ -14,10 +14,20 @@ binary's aggregate realtime factor on the same scripts measured on
 this machine's host CPU (`saugns -d -r96000 -m`, see BASELINE.md):
 123.4x. Values > 1 mean faster than the reference.
 
+Extra JSON keys qualify the number so a partial can never masquerade
+as the corpus aggregate: "configs" = how many of the three corpus
+scripts the value covers, "pipelined" = whether it is the one-sync
+pipelined measurement (vs a sum of single-pass fallbacks), and
+"fidelity_db" = the on-chip corpus fidelity gate (a full 96 kHz
+rainy_thunder render SNR-compared against the CPU oracle before any
+timing; the `make fullcheck` analog, reference Makefile:31-32).
+
 A watchdog thread guarantees the JSON line is printed even if a cold
 XLA compile (minutes through the dev-rig tunnel on first run) eats the
 harness budget: after BENCH_DEADLINE seconds the aggregate over the
-configs completed so far is emitted and the process exits 0.
+configs completed so far is emitted and the process exits 0. Warming
+is ordered by aggregate priority: the three corpus configs strictly
+before wsin and the poly1024 stress bank.
 """
 import json
 import os
@@ -32,16 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_RTF_BASELINE = 123.4  # reference binary, this host CPU, 96 kHz
 DEADLINE = float(os.environ.get('BENCH_DEADLINE', '540'))
 
-# aggregate configs first: if the budget runs out, the JSON line
-# still reflects the headline corpus
+# the three corpus configs form the aggregate; wsin is the latency
+# smoke config (reported separately, never in the aggregate)
 CONFIGS = [
     ('simple_sequence-pm',
      '/root/reference/examples/simple_sequence-pm.sau', True),
     ('misc1-4fm_pm', '/root/reference/examples/misc1-4fm_pm.sau', True),
     ('rainy_thunder', '/root/reference/examples/rainy_thunder.sau',
      True),
-    ('wsin', 'Wsin', False),
 ]
+N_CORPUS = len(CONFIGS)
+WSIN = ('wsin', 'Wsin', False)
 
 SRATE = 96000
 
@@ -63,7 +74,7 @@ def _plausible(audio_s, wall):
     return True
 
 _state = {'tot_audio': 0.0, 'tot_wall': 0.0, 'done': False,
-          'pipelined': None}
+          'pipelined': False, 'n_configs': 0, 'fidelity_db': None}
 _lock = threading.Lock()
 
 
@@ -74,36 +85,62 @@ def _emit_json():
         _state['done'] = True
         rtf = (_state['tot_audio'] / _state['tot_wall']
                if _state['tot_wall'] > 0 else 0.0)
-        print(json.dumps({
+        rec = {
             'metric': 'realtime_factor_96k_stereo_headline_corpus',
             'value': round(rtf, 1),
             'unit': 'x_realtime',
             'vs_baseline': round(rtf / REF_RTF_BASELINE, 2),
-        }), flush=True)
+            'configs': '%d/%d' % (_state['n_configs'], N_CORPUS),
+            'pipelined': _state['pipelined'],
+        }
+        if _state['fidelity_db'] is not None:
+            rec['fidelity_db'] = round(_state['fidelity_db'], 1)
+        print(json.dumps(rec), flush=True)
 
 
 def _watchdog():
     time.sleep(DEADLINE)
-    print('# watchdog: deadline %.0fs hit, emitting partial aggregate'
-          % DEADLINE, file=sys.stderr, flush=True)
+    print('# watchdog: deadline %.0fs hit, emitting partial aggregate '
+          '(%d/%d corpus configs measured)'
+          % (DEADLINE, _state['n_configs'], N_CORPUS),
+          file=sys.stderr, flush=True)
     _emit_json()
     os._exit(0)
+
+
+def _cpu_render(src, is_path, srate):
+    """Host-oracle int16 stereo render (NumPy backend -- itself
+    byte-identical to the reference binary on this script,
+    tests/test_engine_corpus.py)."""
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.render.cpu import Generator as CpuGenerator
+    prg = build_program(ScriptArg(str=src, is_path=is_path,
+                                  no_time=True, predef=[]))
+    g = CpuGenerator(prg, srate)
+    buf = np.zeros(65536 * 2, np.int16)
+    chunks = []
+    while True:
+        more, n = g.run(buf, 65536, True)
+        chunks.append(buf[:n * 2].copy())
+        if not more:
+            break
+    return np.concatenate(chunks).reshape(-1, 2)
 
 
 def _self_check():
     """Device-path fidelity gate: the CPU-platform test suite never
     exercises the TPU Pallas kernels, so the bench validates the
     device render before timing it -- (a) the tap-gather kernel
-    bit-exact vs direct table indexing for all 12 waves, (b) a Wsin
-    render bit-identical to the NumPy host backend (itself
-    byte-identical to the reference binary)."""
+    bit-exact vs direct table indexing for all 12 waves, (b) the
+    forward-fill kernel vs the NumPy scan, (c) a Wsin render
+    bit-identical to the NumPy host backend (itself byte-identical
+    to the reference binary)."""
     import jax
     import numpy as np
     from saugns_tpu.dsp import wavetables as W
     from saugns_tpu.render import jdsp
     from saugns_tpu.lang.program import ScriptArg, build_program
     from saugns_tpu.render.engine import JaxGenerator
-    from saugns_tpu.render.cpu import Generator as CpuGenerator
     import jax.numpy as jnp
     ok = True
     _, piluts = W.get_tables()
@@ -139,21 +176,8 @@ def _self_check():
     prg = build_program(ScriptArg(str='Wsin', is_path=False,
                                   no_time=True, predef=[]))
     g = JaxGenerator(prg, SRATE)
-    # single-epoch script: trim per-block pad to reconstruct the
-    # timeline from the padded (nb, B, 2) render_device pieces
-    piece = np.asarray(g.render_device()[0])
-    lens = np.asarray(g.plan.epochs[0].blk_len)
-    dev = np.concatenate([piece[i, :lens[i]]
-                          for i in range(len(lens))])
-    cg = CpuGenerator(prg, SRATE)
-    buf = np.zeros(8192 * 2, np.int16)
-    chunks = []
-    while True:
-        more, n = cg.run(buf, 8192, True)
-        chunks.append(buf[:n * 2].copy())
-        if not more:
-            break
-    ref = np.concatenate(chunks).reshape(-1, 2)
+    dev = g.assemble(g.render_device())
+    ref = _cpu_render('Wsin', False, SRATE)
     devv = dev[:len(ref)]
     n = int(np.any(devv != ref, axis=1).sum())
     if n:
@@ -181,15 +205,16 @@ def main():
 
     results = {}
     gens = []
-    wsin_gen = None
-    # phase 1: build + warm every config. Compile / cache-load is
-    # the slow part through the tunnel (a cold fused executable is
-    # minutes, shipping a cached multi-MB one can stall under
-    # contention), so all configs warm CONCURRENTLY -- the loads are
-    # tunnel-bound and overlap. Each then takes a single timed render
-    # as the fallback aggregate so a watchdog fire at any point still
-    # reports a measured number.
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    ex = ThreadPoolExecutor(max_workers=N_CORPUS + 3)
+
+    # the corpus fidelity gate's host oracle renders on the local CPU
+    # -- zero tunnel contention, so it starts immediately
+    gate_name, gate_src = 'rainy_thunder', \
+        '/root/reference/examples/rainy_thunder.sau'
+    gate_fut = None
+    if os.path.exists(gate_src):
+        gate_fut = ex.submit(_cpu_render, gate_src, True, SRATE)
 
     def warm_one(cfg):
         name, src, is_path = cfg
@@ -212,52 +237,65 @@ def main():
                 break
         return name, g, wall
 
-    def warm_poly():
-        # 1024-voice PM bank through the REAL engine: generated SAU
-        # script -> frontend -> Program IR -> plan/host-sim -> flat
-        # renderer, per-voice template vmapped over the voice axis
-        # (parallel/voicebank.py); on a multi-chip mesh the voices
-        # shard with a psum mix over ICI.
-        from saugns_tpu.parallel.voicebank import (BankRender,
-                                                   make_bank_script)
-        src = make_bank_script(1024, seed=1, duration=8.0)
-        prg = build_program(ScriptArg(str=src, is_path=False,
-                                      no_time=True, predef=[]))
-        bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
-        jax.block_until_ready(bank.render_i16())
-        return bank
-
-    from concurrent.futures import as_completed
-    # poly warms on its own executor so phase 2 (the headline
-    # aggregate) never waits on it
-    ex = ThreadPoolExecutor(max_workers=len(CONFIGS) + 1)
-    poly_fut = ex.submit(warm_poly)
+    # phase 1: warm the three corpus configs CONCURRENTLY (the
+    # compile/cache loads are tunnel-bound and overlap) and STRICTLY
+    # BEFORE wsin/poly -- if the budget dies here, the partial
+    # aggregate still covers only corpus configs, and the JSON says
+    # how many. Each records one timed pass as the fallback aggregate.
     futs = [ex.submit(warm_one, cfg) for cfg in CONFIGS]
+    gate_gen = None
     for fut in as_completed(futs):
         w = fut.result()
         if w is None:
             continue
         name, g, wall = w
         audio_s = g.plan.signal_end / SRATE
-        if name != 'wsin':  # aggregate = example corpus configs
-            gens.append((name, g, audio_s))
-        else:
-            wsin_gen = g
+        gens.append((name, g, audio_s))
+        if name == gate_name:
+            gate_gen = g
         if wall is None:
             continue  # all warm passes replayed; phase 3 retries
         results[name] = audio_s / wall
-        if name != 'wsin':
-            with _lock:
-                if _state.get('pipelined') is None:
-                    _state['tot_audio'] += audio_s
-                    _state['tot_wall'] += wall
+        with _lock:
+            if not _state['pipelined']:
+                _state['tot_audio'] += audio_s
+                _state['tot_wall'] += wall
+                _state['n_configs'] += 1
         print('# %-22s warmed; single-pass RTF %8.1f'
               % (name, audio_s / wall), file=sys.stderr,
               flush=True)
 
-    # phase 2 -- the headline number FIRST: the corpus configs
-    # rendered back-to-back as one pipelined device stream (dispatch
-    # is asynchronous; the device executes the renders serially) with
+    # phase 1b: on-chip corpus fidelity gate, before any headline
+    # timing -- a full corpus script at 96 kHz SNR-compared against
+    # the CPU oracle (the CPU-platform suite cannot see a broken
+    # Pallas kernel; this can)
+    if gate_fut is not None and gate_gen is not None:
+        try:
+            ref = gate_fut.result()
+            dev = gate_gen.assemble(gate_gen.render_device())
+            dev = dev[:len(ref)]
+            err = (dev.astype(np.float64)
+                   - ref.astype(np.float64)).ravel()
+            p = float((ref.astype(np.float64) ** 2).sum())
+            e = float((err ** 2).sum())
+            snr = float('inf') if e == 0 else 10 * np.log10(p / e)
+            with _lock:
+                _state['fidelity_db'] = min(snr, 999.0)
+            status = 'ok' if snr >= 90.0 else 'FAILED (<90 dB)'
+            print('# fidelity-gate %s 96k on-chip vs CPU oracle: '
+                  '%.1f dB: %s' % (gate_name, snr, status),
+                  file=sys.stderr, flush=True)
+            if snr < 90.0:
+                print('# FIDELITY GATE FAILED -- timing numbers below '
+                      'describe a broken render', file=sys.stderr,
+                      flush=True)
+        except Exception as e:
+            print('# fidelity gate errored: %s' % e, file=sys.stderr,
+                  flush=True)
+
+    # phase 2 -- the headline number: the corpus configs rendered
+    # back-to-back as one pipelined device stream (dispatch is
+    # asynchronous; the device executes the renders serially) with
     # a single final sync -- exactly how a production pipeline
     # renders a corpus, and the analog of timing the reference binary
     # over a script list. The dev-rig tunnel's ~30 ms completion
@@ -283,13 +321,61 @@ def main():
                 _state['pipelined'] = True
                 _state['tot_audio'] = agg_audio
                 _state['tot_wall'] = agg_wall
+                _state['n_configs'] = len(gens)
         print('# %-22s %6.1fs audio in %6.3fs -> RTF %8.1f '
               '(%d scripts, one sync)'
               % ('corpus-pipelined', agg_audio, agg_wall,
                  agg_audio / agg_wall, len(gens)),
               file=sys.stderr, flush=True)
 
-    # phase 3: per-config steady-state refinement (best of 3) + the
+    # phase 2b: the big poly compile starts only after the corpus
+    # aggregate is safely measured; it overlaps the cheap phases below
+    def warm_poly():
+        # 1024-voice PM bank through the REAL engine: generated SAU
+        # script -> frontend -> Program IR -> plan/host-sim -> flat
+        # renderer, per-voice template vmapped over the voice axis
+        # (parallel/voicebank.py); on a multi-chip mesh the voices
+        # shard with a psum mix over ICI.
+        from saugns_tpu.parallel.voicebank import (BankRender,
+                                                   make_bank_script)
+        src = make_bank_script(1024, seed=1, duration=8.0)
+        prg = build_program(ScriptArg(str=src, is_path=False,
+                                      no_time=True, predef=[]))
+        bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
+        jax.block_until_ready(bank.render_i16())
+        return bank
+
+    poly_fut = ex.submit(warm_poly)
+
+    # phase 3: wsin (latency smoke config) -- single-shot latency AND
+    # sustained throughput (8 salted renders, one sync: the same
+    # pipelined methodology as the corpus line; the reference binary
+    # analog is running `saugns -m -d -e Wsin` 8 times)
+    wsin_gen = None
+    w = warm_one(WSIN)
+    if w is not None:
+        name, wsin_gen, wall = w
+        audio_s = wsin_gen.plan.signal_end / SRATE
+        if wall is not None:
+            results['wsin'] = audio_s / wall
+        K = 8
+        swall = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            pieces = [wsin_gen.render_device() for _ in range(K)]
+            jax.block_until_ready(pieces)
+            ww = time.time() - t0
+            if _plausible(audio_s * K, ww):
+                swall = min(swall, ww)
+        if swall < float('inf'):
+            results['wsin_pipelined'] = audio_s * K / swall
+            print('# %-22s %6.1fs audio in %6.3fs -> RTF %8.1f '
+                  '(%d renders, one sync)'
+                  % ('wsin-pipelined', audio_s * K, swall,
+                     audio_s * K / swall, K),
+                  file=sys.stderr, flush=True)
+
+    # phase 4: per-config steady-state refinement (best of 3) + the
     # host-pull figure (a property of the deployment link)
     for name, g, audio_s in gens + (
             [('wsin', wsin_gen, 1.0)] if wsin_gen is not None else []):
@@ -313,8 +399,7 @@ def main():
               % (name, audio_s, wall, audio_s / wall, pull),
               file=sys.stderr, flush=True)
 
-    # bulk polyphony stress: 1024-voice FM bank, 8 s (warmed in
-    # phase 1's pool)
+    # phase 5: bulk polyphony stress -- 1024-voice FM bank, 8 s
     try:
         bank = poly_fut.result()
         audio_s = bank._n_valid() / SRATE
@@ -329,8 +414,8 @@ def main():
             raise RuntimeError('all poly passes replayed')
         results['poly1024'] = audio_s / wall
         # context: the reference binary renders this script in 14.0 s
-        # on this host (0.57x), i.e. the real-engine bank is ~2.2x
-        # the reference; 1024 voices * audio_s / wall voice-seconds/s
+        # on this host (0.57x), i.e. 1024 voices * audio_s / wall
+        # voice-seconds per second through the real engine
         print('# %-22s %6.1fs audio in %6.2fs -> RTF %8.1f '
               '(1024 voices, real engine)'
               % ('poly1024', audio_s, wall,

@@ -36,6 +36,19 @@ def _make_generator(prg, srate):
     if backend == 'cpu':
         from ..render.cpu import Generator
         return Generator(prg, srate)
+    if os.environ.get('SAUGNS_TPU_MESH', '1') == '1':
+        # multi-device: voice-shard the program over a ('voices',)
+        # mesh with a psum/ordered mix -- the TPU-native form of the
+        # reference's per-voice accumulation (sau/generator.c:749-788).
+        # Programs the mesh renderer rejects (self-PM feedback, shared
+        # ops, very long buffers) fall back to the streaming engine.
+        import jax
+        if getattr(prg, 'vo_count', 1) > 1 and len(jax.devices()) > 1:
+            try:
+                from ..parallel.meshrender import MeshGenerator
+                return MeshGenerator(prg, srate)
+            except ValueError:
+                pass
     from ..render.engine import JaxGenerator
     return JaxGenerator(prg, srate)
 

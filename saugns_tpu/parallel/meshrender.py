@@ -378,3 +378,61 @@ class MeshRender:
     def render_i16(self) -> np.ndarray:
         x = np.clip(self.render(), -1.0, 1.0)
         return np.rint(x * np.float32(32767.0)).astype(np.int16)
+
+
+# the player buffers a mesh render whole on the host; longer programs
+# fall back to the streaming engine (same cap as multi-script
+# sharding, parallel/scripts.py)
+MESH_MAX_BUFFER_SAMPLES = 1 << 25
+
+
+def default_mesh() -> Optional[Mesh]:
+    """A ('voices',) mesh over every visible device, or None when
+    only one device is visible."""
+    import jax as _jax
+    devs = _jax.devices()
+    if len(devs) < 2:
+        return None
+    return Mesh(np.asarray(devs), ('voices',))
+
+
+class MeshGenerator:
+    """sauGenerator_run-compatible generator backed by MeshRender --
+    the product path the player auto-selects when more than one
+    device is visible and the program is flat-eligible (the engine
+    handles everything else). Raises ValueError on rejection, like
+    MeshRender."""
+
+    def __init__(self, prg, srate: int, mesh: Optional[Mesh] = None):
+        if mesh is None:
+            mesh = default_mesh()
+        if mesh is None:
+            raise ValueError('fewer than two devices visible')
+        self.mr = MeshRender(prg, srate, mesh=mesh)
+        if self.mr.plan.signal_end > MESH_MAX_BUFFER_SAMPLES:
+            raise ValueError('program too long to buffer whole '
+                             '(%d samples)' % self.mr.plan.signal_end)
+        self._pre = None
+        import os
+        import sys
+        if os.environ.get('SAUGNS_TPU_MESH_DEBUG'):
+            print('# mesh-render: %d voices over %d devices'
+                  % (prg.vo_count, mesh.devices.size),
+                  file=sys.stderr, flush=True)
+
+    def run(self, out_i16, buf_len, stereo):
+        if self._pre is None:
+            mix = self.mr.render()
+            if stereo:
+                arr = np.clip(mix, -1.0, 1.0)
+                arr = np.rint(arr * np.float32(32767.0)) \
+                    .astype(np.int16)
+            else:
+                # mono downmix from the float mix (mix_write_mono,
+                # sau/generator.c:795-805)
+                m = (mix[:, 0] + mix[:, 1]) * np.float32(0.5)
+                arr = np.rint(np.clip(m, -1.0, 1.0)
+                              * np.float32(32767.0)).astype(np.int16)
+            from .scripts import PrerenderedGenerator
+            self._pre = PrerenderedGenerator(arr, stereo)
+        return self._pre.run(out_i16, buf_len, stereo)

@@ -277,9 +277,27 @@ class BankRender:
                 for k in range(1, V):
                     mix = mix + flat[k]
             else:
-                def body(k, a):
-                    return a + flat[k]
-                mix = jax.lax.fori_loop(1, V, body, init)
+                # wide mesh shards (>256 local voices): keep the exact
+                # left-to-right chain but bound the sequential device
+                # loop -- each fori_loop step adds 256 voices as one
+                # unrolled (fused) chain continuing from the carry, so
+                # the accumulation order is still exactly ascending
+                # voice id at V/256 launches instead of V-1
+                head = min(V % 256 or 256, V)
+                mix = init
+                for k in range(1, head):
+                    mix = mix + flat[k]
+                if V > head:
+                    tail = flat[head:].reshape((V - head) // 256, 256,
+                                               *flat.shape[1:])
+
+                    def body(k, a):
+                        blk = tail[k]
+                        for j in range(256):
+                            a = a + blk[j]
+                        return a
+                    mix = jax.lax.fori_loop(0, tail.shape[0], body,
+                                            mix)
         else:
             mix = jnp.sum(flat, axis=0)
             if acc is not None:
@@ -341,14 +359,26 @@ class BankRender:
             # (env override exists so tests can force multi-slab
             # splits on tiny banks)
             import os as _os
-            budget = int(_os.environ.get(
-                'SAUGNS_TPU_BANK_SLAB_BUDGET', str(1 << 25)))
-            slab = max(1, min(V, budget // max(samples_pv, 1)))
+            raw = _os.environ.get('SAUGNS_TPU_BANK_SLAB_BUDGET',
+                                  str(1 << 25))
+            try:
+                budget = int(raw)
+            except ValueError:
+                raise ValueError(
+                    'SAUGNS_TPU_BANK_SLAB_BUDGET must be an integer '
+                    'sample budget, got %r' % raw) from None
+            budget = max(budget, 1)
+            # cap slab width: compile cost grows superlinearly with
+            # the vmapped body width (a 64-wide slab never finished
+            # compiling on the dev rig, docs/ROUND4-NOTES.md), and
+            # <=256 keeps the ordered mix on its unrolled branch
+            slab = max(1, min(V, 256, budget // max(samples_pv, 1)))
             # shrink to a divisor of V: a remainder slab would mint a
             # second (differently-shaped) executable for no gain
             while V % slab:
                 slab -= 1
             n_slabs = V // slab
+            self.n_slabs, self.slab = n_slabs, slab
 
             def reslab(a):
                 return a.reshape((n_slabs, slab) + a.shape[1:])

@@ -358,8 +358,12 @@ class RasG:
             ofs = ftoi_f32(s_pofs * phase_scale).astype(np.uint64)
         cycle_phase = ofs + base
         if length > 0:
-            self.cycle_phase = int((np.uint64(self.cycle_phase)
-                                    + np.sum(incs, dtype=np.uint64)))
+            # u64 wraparound is intended (the reference's cycle_phase
+            # accumulator wraps, rasg.h:29-33); do it in Python ints
+            # so NumPy's scalar-overflow RuntimeWarning never fires
+            self.cycle_phase = (int(self.cycle_phase)
+                                + int(np.sum(incs, dtype=np.uint64))) \
+                & 0xffffffffffffffff
         cycle = (cycle_phase >> np.uint64(32)).astype(np.uint32)
         phase = (cycle_phase.astype(np.uint32) >> np.uint32(1))
         phase_f = phase.view(np.int32).astype(f32) * f32((2.0**-31))

@@ -1243,6 +1243,39 @@ class JaxGenerator:
             ei = ej
         return pieces
 
+    def assemble(self, pieces):
+        """Host (signal_end, 2) int16 timeline from render_device()
+        output: trims per-block padding and restores leading-gap
+        silence. Pieces arrive one per sequential epoch or one per
+        flat segment, in timeline order (both dispatch paths emit
+        that order)."""
+        out = np.zeros((self.plan.signal_end, 2), np.int16)
+        pos = 0
+        it = iter(pieces)
+        for ei, ep in enumerate(self.plan.epochs):
+            if ep.start > pos:
+                pos = int(ep.start)  # leading gap stays silent
+            fl = self._flat_epoch(ei)
+            if fl is None:
+                arr = np.asarray(next(it))
+                for k, blen in enumerate(ep.blk_len):
+                    blen = int(blen)
+                    if blen > 0:
+                        out[pos:pos + blen] = arr[k, :blen]
+                        pos += blen
+            else:
+                for seg in fl:
+                    arr = np.asarray(next(it))
+                    for k in range(seg.lo, seg.hi):
+                        blen = int(ep.blk_len[k])
+                        if blen > 0:
+                            out[pos:pos + blen] = arr[k - seg.lo,
+                                                      :blen]
+                            pos += blen
+        assert pos == self.plan.signal_end, (pos,
+                                             self.plan.signal_end)
+        return out
+
     def _stream_i16(self, stereo):
         """Yield host int16 arrays -- shape (n, 2) stereo / (n,) mono
         -- covering the timeline in order, with bounded device and

@@ -94,6 +94,52 @@ def test_selfmod_program_rejected():
         MeshRender(prg, SRATE)
 
 
+def test_player_selects_mesh_generator():
+    """The product path: with >1 device visible, the player's backend
+    selection takes the mesh renderer for flat-eligible multi-voice
+    programs and falls back to the engine on rejection (self-PM)."""
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multiple devices')
+    from saugns_tpu.io.player import _make_generator
+    from saugns_tpu.parallel.meshrender import MeshGenerator
+    from saugns_tpu.render.engine import JaxGenerator
+    gen = _make_generator(_build(HETERO), SRATE)
+    assert isinstance(gen, MeshGenerator)
+    # self-PM: mesh renderer rejects -> engine fallback
+    gen2 = _make_generator(_build("Wsin f100 t0.2 p.a.5"), SRATE)
+    assert isinstance(gen2, JaxGenerator)
+
+
+def test_cli_mesh_path_output_identical(tmp_path):
+    """A CLI render on the 8-device CPU mesh takes the mesh path
+    (debug marker asserts engagement) and writes a WAV byte-identical
+    to the mesh-disabled engine render."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    script = '/root/reference/examples/tests/defaulttime.sau'
+    if not os.path.exists(script):
+        pytest.skip('reference corpus not available')
+    outs = []
+    for mesh_on in ('1', '0'):
+        out = str(tmp_path / ('mesh%s.wav' % mesh_on))
+        env = dict(os.environ, PYTHONPATH=REPO,
+                   SAUGNS_TPU_MESH=mesh_on,
+                   SAUGNS_TPU_MESH_DEBUG='1',
+                   SAUGNS_TPU_SHARD_SCRIPTS='0',
+                   XLA_FLAGS='--xla_force_host_platform_device_count=8',
+                   JAX_PLATFORMS='cpu')
+        r = subprocess.run(
+            [sys.executable, '-m', 'saugns_tpu.cli', '-d', '-r6000',
+             '-m', '-o', out, script],
+            capture_output=True, env=env, timeout=600, cwd=REPO)
+        assert r.returncode == 0, r.stderr.decode()
+        marker = b'# mesh-render:' in r.stderr
+        assert marker == (mesh_on == '1'), r.stderr.decode()
+        outs.append(open(out, 'rb').read())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 44
+
+
 def test_multi_script_sharding_output_identical(tmp_path):
     """CLI rendering of a script list with sharding on vs off produces
     byte-identical WAV output (order-preserving sink writes)."""

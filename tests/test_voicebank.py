@@ -89,6 +89,10 @@ def test_bank_128_voices_multislab_exact(monkeypatch):
     monkeypatch.setenv('SAUGNS_TPU_BANK_SLAB_BUDGET', '38400')
     bank = BankRender(prg, srate, mesh=None)  # ordered by default
     mix = np.asarray(bank.render_i16())
+    # the render must actually have split (the point of the test);
+    # guards against block padding / chunk-size drift collapsing it
+    # back to the single-slab case
+    assert bank.n_slabs > 1, bank.n_slabs
     ref = _engine_render(prg, srate)
     assert mix.shape == ref.shape
     assert np.array_equal(mix, ref)
