@@ -171,14 +171,14 @@ class BankPlan:
         segs = []
         # per-voice chunk size: the Pallas kernels flatten vmapped
         # batches into the sample axis (jdsp._flatten_batch), so the
-        # old Mosaic working-set cap no longer binds -- but small
-        # chunks still win (sweep on a 1024-voice 8 s bank on v5e:
-        # 2 blocks = 1.69 s, 4 = 1.82 s, 6 = 1.94 s, 12 = 2.21 s;
-        # larger chunks grow the HBM working set faster than they
-        # shave launches)
+        # old Mosaic working-set cap no longer binds -- and small
+        # chunks win (sweep on a 1024-voice 8 s bank on v5e with the
+        # fused sample+fill kernel: 1 block = 0.93 s, 2 = 0.97 s,
+        # 4 = 0.99 s, 6 = 1.05 s; larger chunks grow the HBM working
+        # set faster than they shave launches)
         import os as _os
         nblk = int(_os.environ.get('SAUGNS_TPU_BANK_CHUNK_BLOCKS',
-                                   '2'))
+                                   '1'))
         chunk = self.plan.epochs[self.main_ei].block * nblk
         for k, (sl, view) in enumerate(zip(self.slices, self.views)):
             vb = _bake_view(bake, sl, view)
@@ -324,10 +324,18 @@ class BankRender:
         """Full render -> (n_samples, 2) f32 stereo mix (device)."""
         bp = self.bp
         plan = bp.plan
-        st = make_state(plan)
-        recs = {k: jnp.asarray(v) for k, v in plan.rec_arrays.items()}
-        st = jax.jit(apply_records, static_argnums=(1, 2))(
-            st, 0, bp.rec_hi, recs)
+        # the post-records state is a pure function of the program --
+        # rebuilding it per render re-ran the sequential apply_records
+        # while-loop on device (~0.6 s of a 1.6 s 1024-voice render)
+        if getattr(self, '_st_recs', None) is None:
+            st = make_state(plan)
+            recs = {k: jnp.asarray(v)
+                    for k, v in plan.rec_arrays.items()}
+            st = jax.jit(apply_records, static_argnums=(1, 2))(
+                st, 0, bp.rec_hi, recs)
+            st = jax.block_until_ready(st)
+            self._st_recs = (st, recs)
+        st, recs = self._st_recs
         init_fn, scan_fn, fini_fn = bp.segs[0]._fn
 
         def init_one(dyn):
@@ -383,9 +391,17 @@ class BankRender:
             def reslab(a):
                 return a.reshape((n_slabs, slab) + a.shape[1:])
 
-            dyn_r = jax.tree.map(reslab, bp.dyn)
-            xs_r = tuple(jax.tree.map(reslab, g)
-                         for g in bp.xs_groups)
+            # upload the reslabbed per-voice inputs once -- they are
+            # immutable, and re-feeding host arrays re-transferred
+            # them over the tunnel on every render
+            if getattr(self, '_slab_dev', None) is None:
+                dyn_r = jax.tree.map(
+                    lambda a: jnp.asarray(reslab(a)), bp.dyn)
+                xs_r = tuple(jax.tree.map(
+                    lambda a: jnp.asarray(reslab(a)), g)
+                    for g in bp.xs_groups)
+                self._slab_dev = (dyn_r, xs_r)
+            dyn_r, xs_r = self._slab_dev
 
             glen = bp.gch * bp.nc * bp.B
 

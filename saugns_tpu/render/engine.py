@@ -1266,7 +1266,7 @@ class JaxGenerator:
             else:
                 for seg in fl:
                     arr = np.asarray(next(it))
-                    for k in range(seg.lo, seg.hi):
+                    for k in range(seg.lo, seg.lo + seg.nb):
                         blen = int(ep.blk_len[k])
                         if blen > 0:
                             out[pos:pos + blen] = arr[k - seg.lo,

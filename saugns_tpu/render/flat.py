@@ -700,8 +700,6 @@ class FlatSegment:
         row_hold = _row_fill(row_last, row_act, pp_in)   # (nc,)
         held = jnp.where(mask2, phase2, row_hold[:, None])
         ph_flat = held.reshape(nc * B)
-        p_prev = jnp.concatenate([jnp.reshape(pp_in, (1,)),
-                                  ph_flat[:-1]])
         # an unconsumed reset (prepare/mode record) pairs the FIRST
         # ACTIVE sample with its own phase minus SLEN (wosc.h:215-231)
         # -- delayed modulators activate mid-segment, so this is not
@@ -709,6 +707,22 @@ class FlatSegment:
         do_rst = carry['rst%d' % si] & has_act
         ph_fi = ph_flat[first_ir]
         rst_prev = ph_fi - SLENu
+        if jdsp.fused_fill_available():
+            # the whole sample path -- tap gather, df64 Hermite,
+            # shifted-Is diff, head/reset pairing, pd == 0 forward
+            # fill -- in ONE Pallas pass (bitwise equal to the
+            # composed chain below)
+            out = jdsp.wosc_s_filled(
+                wave, ph_flat, pp_in, carry['ps%d' % si],
+                first_ir, do_rst, rst_prev)
+            new_carry['pp%d' % si] = row_hold[-1]
+            new_carry['ps%d' % si] = jnp.where(
+                has_act, out[last_ir], carry['ps%d' % si])
+            new_carry['rst%d' % si] = carry['rst%d' % si] & ~has_act
+            vals[s.dst] = out.reshape(nc, B)
+            return
+        p_prev = jnp.concatenate([jnp.reshape(pp_in, (1,)),
+                                  ph_flat[:-1]])
         p_prev = p_prev.at[first_ir].set(
             jnp.where(do_rst, rst_prev, p_prev[first_ir]))
         if jdsp.use_fused_osc():

@@ -855,16 +855,56 @@ def wosc_run_vec(pilut, wave, phase_buf, prev_phase, prev_s, reset,
 
 def wosc_selfmod_scan(pilut, wave, phase_buf, abuf, prev_phase, prev_s,
                       fb_s, reset, length):
-    """sauWOsc_run_selfmod (wosc.h:273-310) as a per-sample scan."""
+    """sauWOsc_run_selfmod (wosc.h:273-310) as a per-sample scan.
+
+    The feedback makes this a true 1-sample recurrence (no prefix
+    trick applies); the lever is a lean step body. On TPU the step
+    carries the previous sample's Is pair (the C itself carries
+    prev_Is, wosc.h:45-47) so each sample costs ONE tap fetch and ONE
+    Hermite, evaluated in df64 instead of XLA's ~10x-cost float64
+    emulation -- the same accuracy regime as the main TPU oscillator
+    path. The CPU platform keeps the exact float64 chain and its
+    byte-parity with the reference binary."""
     B = phase_buf.shape[0]
     p0 = phase_buf[0] - np.uint32(W.SLEN)
     pp0 = jnp.where(reset, p0, prev_phase)
     fb_scale = P31
 
+    if use_fused_osc():
+        dvs = np.float32(W.dvscale(wave))
+        dvo = np.float32(W.dvoffset(wave))
+        h0, l0 = _Is_df64(wave, pp0)
+
+        def step_df(carry, xs):
+            pp, ps, fb, ih, il, i = carry
+            ph, am = xs
+            adj = ftoi(fb * am * fb_scale)
+            phase = (ph.astype(jnp.int64) + adj).astype(u32)
+            h2, l2 = _Is_df64(wave, phase)
+            pd = asi32(phase - pp)
+            valid = pd != 0
+            pdf = jnp.where(valid, pd, 1).astype(f32)
+            xf = dvs / pdf
+            dh, dl = _df_add(h2, l2, -ih, -il)
+            mh, ml = _df_mul_f(dh, dl, xf)
+            sh, sl = _df_add(mh, ml, dvo, np.float32(0.0))
+            s = jnp.where(valid, sh + sl, ps)
+            active = i < length
+            av = active & valid
+            return (jnp.where(av, phase, pp), jnp.where(av, s, ps),
+                    jnp.where(active, (fb + s) * np.float32(0.5), fb),
+                    jnp.where(av, h2, ih), jnp.where(av, l2, il),
+                    i + 1), jnp.where(active, s, np.float32(0))
+
+        (pp, ps, fb, _h, _l, _), out = jax.lax.scan(
+            step_df, (pp0, prev_s, fb_s, h0, l0, jnp.int32(0)),
+            (phase_buf, abuf))
+        return out, pp, ps, fb
+
     def step(carry, xs):
         pp, ps, fb, i = carry
         ph, am = xs
-        adj = ftoi(fb * am * fb_scale).astype(jnp.int64)
+        adj = ftoi(fb * am * fb_scale)
         phase = (ph.astype(jnp.int64) + adj).astype(u32)
         s, valid = wosc_diff(pilut, wave, pp, phase)
         s = jnp.where(valid, s, ps)
@@ -1552,6 +1592,252 @@ def _ffill_vmap(axis_size, in_batched, s, m, seed):
                              m.reshape(V * (N + pad)),
                              seeds, (N + pad) // _W_TILE)
     return out.reshape(V, N + pad)[:, :N], True
+
+
+# -- fused wosc sample + fill kernel (TPU) -------------------------------------
+#
+# The K_WRUN stage previously ran as: fused-Is Pallas kernel ->
+# ~30 XLA elementwise ops (shifted-Is pairing, head/reset scatters,
+# df64 diff chain) -> forward-fill Pallas kernel, plus custom_vmap
+# moveaxis transposes of the (2, V, B) Is pairs. On a 1024-voice bank
+# that shape was launch-bound: ~465k kernel executions per render with
+# ~0.5 s of inter-launch gaps (docs/ROUND4-NOTES.md). This kernel does
+# the WHOLE sample path in one pass -- window tap gathers, df64
+# Hermite, shifted-Is diff (the previous sample's Is is this kernel's
+# own previous lane, carried across tiles in SMEM), head/reset
+# patching from per-row SMEM seeds, and the pd == 0 forward fill --
+# reading one i32 phase per sample and writing one f32 sample.
+# Bitwise identical to the composed path (same IEEE f32 ops in the
+# same order); tiles are sized to the row (voice) length so vmapped
+# banks flatten with zero padding.
+
+def _tile_for(n):
+    """Kernel tile for row length n: the largest multiple of 1024
+    (8 f32 sublanes x 128 lanes) <= _W_TILE that divides n, so padded
+    rows cost nothing; when n is not a multiple of 1024, the smallest
+    power-of-2 roundup (pad < half a tile)."""
+    if n % 1024 == 0:
+        for m in range(min(n, _W_TILE) // 1024, 0, -1):
+            if n % (m * 1024) == 0:
+                return m * 1024
+    t = 1024
+    while t < n and t < _W_TILE:
+        t *= 2
+    return t
+
+
+def _wosc_fill_factory(TILE, tpv, dvs, dvo):
+    from jax.experimental import pallas as pl
+    R = TILE // 128
+
+    def kernel(ph_ref, pp_ref, ish_ref, isl_ref, ps_ref, fi_ref,
+               drst_ref, rph_ref, rh_ref, rl_ref, tab_ref, out_ref,
+               cf_ref):
+        gi = pl.program_id(0)
+        v = gi // np.int32(tpv)
+        ti = gi % np.int32(tpv)
+        start = ti == 0
+        ph = ph_ref[:, :]
+        cell = jax.lax.shift_right_logical(ph, np.int32(SLENBITS))
+        x = (ph & np.int32(W.SLENMASK)).astype(f32) * X_SCALE
+        taps = _window_taps_body(tab_ref, cell, R)
+        h2, l2 = _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
+        # shifted-Is pairing: Is(p_prev[i]) == Is(ph[i-1]); position 0
+        # takes the row seed (tile 0) or the cross-tile carry
+        h1 = _flat_shift(h2, 1, R, np.float32(0.0))
+        l1 = _flat_shift(l2, 1, R, np.float32(0.0))
+        php = _flat_shift(ph, 1, R, np.int32(0))
+        ch = jnp.where(start, ish_ref[v], cf_ref[0])
+        cl = jnp.where(start, isl_ref[v], cf_ref[1])
+        cfill = jnp.where(start, ps_ref[v], cf_ref[2])
+        # phase carry rides as two exact f32 halfword limbs: Mosaic's
+        # i32 reduce lowering re-traces jnp.sum under the ambient
+        # config, minting i64 when jax_enable_x64 is on
+        carry_ph = (cf_ref[4].astype(i32) << np.int32(16)) \
+            | cf_ref[3].astype(i32)
+        cph = jnp.where(start, pp_ref[v], carry_ph)
+        row = jax.lax.broadcasted_iota(i32, (R, 128), 0)
+        lane = jax.lax.broadcasted_iota(i32, (R, 128), 1)
+        pos0 = (row == np.int32(0)) & (lane == np.int32(0))
+        h1 = jnp.where(pos0, ch, h1)
+        l1 = jnp.where(pos0, cl, l1)
+        php = jnp.where(pos0, cph, php)
+        # unconsumed reset: the row's first ACTIVE sample (row-relative
+        # index fi, not necessarily 0) pairs with rst_prev instead
+        # (wosc.h:215-231)
+        ridx = ti * np.int32(TILE) + row * np.int32(128) + lane
+        match = (ridx == fi_ref[v]) & (drst_ref[v] != np.int32(0))
+        h1 = jnp.where(match, rh_ref[v], h1)
+        l1 = jnp.where(match, rl_ref[v], l1)
+        php = jnp.where(match, rph_ref[v], php)
+        # s = DVSCALE * (Is2 - Is1) / pd + DVOFFSET (wosc.h:238-266)
+        pd = ph - php
+        valid = pd != np.int32(0)
+        pdf = jnp.where(valid, pd, np.int32(1)).astype(f32)
+        xf = np.float32(dvs) / pdf
+        dh, dl = _df_add(h2, l2, -h1, -l1)
+        mh, ml = _df_mul_f(dh, dl, xf)
+        sh, sl = _df_add(mh, ml, np.float32(dvo), np.float32(0.0))
+        s = sh + sl
+        last = (row == np.int32(R - 1)) & (lane == np.int32(127))
+        cf_ref[0] = jnp.sum(jnp.where(last, h2, np.float32(0.0)))
+        cf_ref[1] = jnp.sum(jnp.where(last, l2, np.float32(0.0)))
+        ph_lo = (ph & np.int32(0xffff)).astype(f32)
+        ph_hi = jax.lax.shift_right_logical(
+            ph, np.int32(16)).astype(f32)
+        cf_ref[3] = jnp.sum(jnp.where(last, ph_lo, np.float32(0.0)))
+        cf_ref[4] = jnp.sum(jnp.where(last, ph_hi, np.float32(0.0)))
+        # pd == 0 hold: forward fill (log-doubling in VMEM, carry in
+        # SMEM -- same scheme as _ffill_kernel_factory). A tile with
+        # no holds -- the overwhelmingly common case: any audible
+        # frequency advances the phase every sample -- skips the
+        # ~log2(TILE) shift/select rounds entirely (pl.when); the
+        # fill is the identity there, so outputs stay bitwise equal.
+        # -13% kernel time measured (tools/bench_fused_variants.py).
+        nhold = jnp.sum(jnp.where(valid, np.float32(0.0),
+                                  np.float32(1.0)))
+
+        @pl.when(nhold == np.float32(0.0))
+        def _():
+            out_ref[:, :] = s
+            cf_ref[2] = jnp.sum(jnp.where(last, s, np.float32(0.0)))
+
+        @pl.when(nhold != np.float32(0.0))
+        def _():
+            val = jnp.where(valid, s, np.float32(0.0))
+            f = valid.astype(f32)
+            k = 1
+            while k < TILE:
+                v2 = _flat_shift(val, k, R, np.float32(0.0))
+                f2 = _flat_shift(f, k, R, np.float32(0.0))
+                take = f == np.float32(0.0)
+                val = jnp.where(take, v2, val)
+                f = jnp.where(take, f2, f)
+                k *= 2
+            out = jnp.where(f != np.float32(0.0), val, cfill)
+            out_ref[:, :] = out
+            cf_ref[2] = jnp.sum(jnp.where(last, out, np.float32(0.0)))
+    return kernel
+
+
+def _wosc_fill_flat(ph, pp, ish, isl, ps, fi, drst, rph, rh, rl,
+                    tab, tpv, TILE, dvs, dvo):
+    """ph: (N,) i32-bitcast phases, N a multiple of TILE; per-row
+    seed arrays of length V = N // (tpv*TILE). Returns (N,) f32
+    filled samples."""
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+    N = ph.shape[0]
+    R = TILE // 128
+    nv = pp.shape[0]
+
+    def smem(n):
+        return pl_.BlockSpec((n,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM)
+
+    out = pl_.pallas_call(
+        _wosc_fill_factory(TILE, tpv, dvs, dvo),
+        grid=(N // TILE,),
+        in_specs=[pl_.BlockSpec((R, 128),
+                                lambda i: (i, np.int32(0)),
+                                memory_space=pltpu.VMEM)]
+        + [smem(nv)] * 9
+        + [pl_.BlockSpec((16, 128),
+                         lambda i: (np.int32(0), np.int32(0)),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl_.BlockSpec((R, 128),
+                                lambda i: (i, np.int32(0)),
+                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N // 128, 128), f32),
+        scratch_shapes=[pltpu.SMEM((5,), f32)],
+    )(ph.reshape(N // 128, 128), pp, ish, isl, ps, fi, drst, rph,
+      rh, rl, tab)
+    return out.reshape(N)
+
+
+_wosc_fill_entries = {}
+
+
+def _get_wosc_fill_entry(wave: int):
+    ent = _wosc_fill_entries.get(wave)
+    if ent is not None:
+        return ent
+    dvs = np.float32(W.dvscale(wave))
+    dvo = np.float32(W.dvoffset(wave))
+
+    def call_flat(ph, scalars, tab, tpv, TILE):
+        return _wosc_fill_flat(ph, *scalars, tab=tab, tpv=tpv,
+                               TILE=TILE, dvs=dvs, dvo=dvo)
+
+    @jax.custom_batching.custom_vmap
+    def entry(ph, pp, ish, isl, ps, fi, drst, rph, rh, rl, tab):
+        N = ph.shape[0]
+        TILE = _tile_for(N)
+        pad = (-N) % TILE
+        if pad:
+            ph = jnp.concatenate([ph, jnp.zeros(pad, i32)])
+        scalars = tuple(jnp.reshape(a, (1,)) for a in
+                        (pp, ish, isl, ps, fi, drst, rph, rh, rl))
+        out = call_flat(ph, scalars, tab, (N + pad) // TILE, TILE)
+        return out[:N]
+
+    @entry.def_vmap
+    def rule(axis_size, in_batched, ph, pp, ish, isl, ps, fi, drst,
+             rph, rh, rl, tab):
+        assert not in_batched[10], 'window table must be unbatched'
+        if not in_batched[0]:
+            return entry(ph, pp, ish, isl, ps, fi, drst, rph, rh,
+                         rl, tab), False
+        V, N = ph.shape
+        TILE = _tile_for(N)
+        pad = (-N) % TILE
+        if pad:
+            ph = jnp.concatenate(
+                [ph, jnp.zeros((V, pad), i32)], axis=1)
+        scalars = []
+        for a, b in zip((pp, ish, isl, ps, fi, drst, rph, rh, rl),
+                        in_batched[1:10]):
+            scalars.append(a if b else
+                           jnp.broadcast_to(jnp.reshape(a, (1,)),
+                                            (V,)))
+        out = call_flat(ph.reshape(V * (N + pad)), tuple(scalars),
+                        tab, (N + pad) // TILE, TILE)
+        return out.reshape(V, N + pad)[:, :N], True
+
+    _wosc_fill_entries[wave] = entry
+    return entry
+
+
+def fused_fill_available():
+    """Whether the one-pass wosc sample+fill kernel is active (TPU
+    window mode; SAUGNS_TPU_FUSED_FILL=0 restores the composed
+    Is-kernel + XLA chain + fill-kernel path)."""
+    return _fused_is_available() \
+        and os.environ.get('SAUGNS_TPU_FUSED_FILL', '1') == '1' \
+        and use_fused_osc()
+
+
+def wosc_s_filled(wave: int, ph_u32, pp_in, prev_s, first_ir,
+                  do_rst, rst_prev):
+    """Filled oscillator output for a flat phase buffer in ONE Pallas
+    pass: equivalent to wosc_s_shifted(...) followed by
+    forward_fill_last_valid(s_raw, valid, prev_s) -- bitwise (same
+    IEEE f32 op sequence). ``first_ir``/``do_rst``/``rst_prev``: the
+    unconsumed-reset patch position and pairing phase (wosc.h:215-231).
+    Under vmap the batch flattens into one kernel launch with per-row
+    SMEM seeds (zero padding when the row length is a tile multiple).
+    """
+    hp, lp = _Is_df64(wave, pp_in)
+    hr, lr = _Is_df64(wave, rst_prev)
+    tab = _build_window_tabs()[wave]
+    ent = _get_wosc_fill_entry(wave)
+    return ent(jax.lax.bitcast_convert_type(ph_u32, i32),
+               jax.lax.bitcast_convert_type(pp_in, i32),
+               hp, lp, prev_s.astype(f32) if hasattr(prev_s, 'astype')
+               else jnp.float32(prev_s),
+               first_ir.astype(i32), do_rst.astype(i32),
+               jax.lax.bitcast_convert_type(rst_prev, i32), hr, lr,
+               tab)
 
 
 def salt_zero(salt):
