@@ -180,9 +180,15 @@ class FlatSegment:
         nch = -(-nb_r // nc)
         # chunks run in groups of <= STREAM_GROUP under one dispatch;
         # bounded memory for arbitrarily long segments, and the last
-        # group is padded with inert chunks so one compile serves all
+        # group is padded with inert chunks so one compile serves all.
+        # The group width is balanced across groups (ceil(nch/ng), not
+        # STREAM_GROUP): unbalanced groups padded a 12-chunk bank
+        # segment to 2x8 slots -- 25% of the render spent on inert
+        # chunks. Single-group segments (nch <= STREAM_GROUP, the
+        # common corpus shape) are unaffected.
         gch = min(nch, STREAM_GROUP)
         ng = -(-nch // gch)
+        gch = -(-nch // ng)
         nch = ng * gch
         nb_r = nch * nc
         self.lo, self.nb, self.B, self.nc, self.nch = lo, nb, B, nc, nch
