@@ -17,10 +17,12 @@ this machine's host CPU (`saugns -d -r96000 -m`, see BASELINE.md):
 Extra JSON keys qualify the number so a partial can never masquerade
 as the corpus aggregate: "configs" = how many of the three corpus
 scripts the value covers, "pipelined" = whether it is the one-sync
-pipelined measurement (vs a sum of single-pass fallbacks), and
+pipelined measurement (vs a sum of single-pass fallbacks),
 "fidelity_db" = the on-chip corpus fidelity gate (a full 96 kHz
 rainy_thunder render SNR-compared against the CPU oracle before any
-timing; the `make fullcheck` analog, reference Makefile:31-32).
+timing; the `make fullcheck` analog, reference Makefile:31-32), and
+one key per measured config (steady-state RTF: the three corpus
+scripts, wsin, wsin_pipelined, poly1024).
 
 A watchdog thread guarantees the JSON line is printed even if a cold
 XLA compile (minutes through the dev-rig tunnel on first run) eats the
@@ -28,6 +30,16 @@ harness budget: after BENCH_DEADLINE seconds the aggregate over the
 configs completed so far is emitted and the process exits 0. Warming
 is ordered by aggregate priority: the three corpus configs strictly
 before wsin and the poly1024 stress bank.
+
+Timing methodology: every timed pass ends in a FORCED completion --
+an on-device checksum of all outputs fetched to the host (_force).
+``jax.block_until_ready`` is not trusted: on the dev-rig runtime it
+can return without waiting (a 60 s render "completed" in 0.10 ms;
+the subsequent 4-sample host pull took the real 38 ms). The fetch
+round trip is the rig's ~25 ms floor for ANY executable (a trivial
+one-op jit pays the same), so pipelined lines (many renders, one
+forced fetch) are the deployment-relevant throughput numbers and
+single-short-render RTFs are floor-bound near audio_s / 25 ms.
 """
 import json
 import os
@@ -73,8 +85,35 @@ def _plausible(audio_s, wall):
         return False
     return True
 
+
+_ck_fns = {}
+
+
+def _force(pieces):
+    """Force REAL completion of a render and return after the result
+    is provably materialized: reduce every output to one scalar ON
+    DEVICE and fetch it. On the dev-rig runtime,
+    ``jax.block_until_ready`` can return without waiting (measured:
+    a 60 s render "completed" in 0.10 ms, then a 4-sample host pull
+    took the real 38 ms), so any block-based wall is fiction; a
+    dependent scalar fetch cannot lie. The fetch round trip itself is
+    the rig's ~25 ms floor (a trivial one-op executable pays the
+    same), which is why single-short-render walls bottom out near
+    25 ms regardless of device work."""
+    import jax
+    import jax.numpy as jnp
+    key = tuple((tuple(p.shape), str(p.dtype)) for p in pieces)
+    ck = _ck_fns.get(key)
+    if ck is None:
+        ck = jax.jit(lambda ps: sum(
+            jnp.sum(p.astype(jnp.int32)) if p.dtype == jnp.int16
+            else jnp.sum(p) for p in ps))
+        _ck_fns[key] = ck
+    return ck(list(pieces)).item()
+
 _state = {'tot_audio': 0.0, 'tot_wall': 0.0, 'done': False,
-          'pipelined': False, 'n_configs': 0, 'fidelity_db': None}
+          'pipelined': False, 'n_configs': 0, 'fidelity_db': None,
+          'per_config': {}}
 _lock = threading.Lock()
 
 
@@ -95,6 +134,8 @@ def _emit_json():
         }
         if _state['fidelity_db'] is not None:
             rec['fidelity_db'] = round(_state['fidelity_db'], 1)
+        for k, v in sorted(_state['per_config'].items()):
+            rec[k] = round(v, 1)
         print(json.dumps(rec), flush=True)
 
 
@@ -204,6 +245,12 @@ def main():
               flush=True)
 
     results = {}
+
+    def _record(key, rtf):
+        results[key] = rtf
+        with _lock:
+            _state['per_config'][key] = rtf
+
     gens = []
     from concurrent.futures import ThreadPoolExecutor, as_completed
     ex = ThreadPoolExecutor(max_workers=N_CORPUS + 3)
@@ -225,12 +272,12 @@ def main():
         if prg is None:
             return None
         g = JaxGenerator(prg, SRATE)
-        jax.block_until_ready(g.render_device())  # compile + warm
+        _force(g.render_device())  # compile + warm + first-touch
         audio_s = g.plan.signal_end / SRATE
         wall = None
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(g.render_device())
+            _force(g.render_device())
             w = time.time() - t0
             if _plausible(audio_s, w):
                 wall = w
@@ -255,7 +302,7 @@ def main():
             gate_gen = g
         if wall is None:
             continue  # all warm passes replayed; phase 3 retries
-        results[name] = audio_s / wall
+        _record(name, audio_s / wall)
         with _lock:
             if not _state['pipelined']:
                 _state['tot_audio'] += audio_s
@@ -309,8 +356,8 @@ def main():
             t0 = time.time()
             all_pieces = []
             for _n, g, _a in gens:
-                all_pieces.append(g.render_device())
-            jax.block_until_ready(all_pieces)
+                all_pieces.extend(g.render_device())
+            _force(all_pieces)
             w = time.time() - t0
             if _plausible(agg_audio, w):
                 agg_wall = min(agg_wall, w)
@@ -342,7 +389,7 @@ def main():
         prg = build_program(ScriptArg(str=src, is_path=False,
                                       no_time=True, predef=[]))
         bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
-        jax.block_until_ready(bank.render_i16())
+        _force([bank.render_i16()])
         return bank
 
     poly_fut = ex.submit(warm_poly)
@@ -357,18 +404,20 @@ def main():
         name, wsin_gen, wall = w
         audio_s = wsin_gen.plan.signal_end / SRATE
         if wall is not None:
-            results['wsin'] = audio_s / wall
+            _record('wsin', audio_s / wall)
         K = 8
         swall = float('inf')
         for _ in range(3):
             t0 = time.time()
-            pieces = [wsin_gen.render_device() for _ in range(K)]
-            jax.block_until_ready(pieces)
+            pieces = []
+            for _ in range(K):
+                pieces.extend(wsin_gen.render_device())
+            _force(pieces)
             ww = time.time() - t0
             if _plausible(audio_s * K, ww):
                 swall = min(swall, ww)
         if swall < float('inf'):
-            results['wsin_pipelined'] = audio_s * K / swall
+            _record('wsin_pipelined', audio_s * K / swall)
             print('# %-22s %6.1fs audio in %6.3fs -> RTF %8.1f '
                   '(%d renders, one sync)'
                   % ('wsin-pipelined', audio_s * K, swall,
@@ -384,13 +433,13 @@ def main():
         for _ in range(3):
             t0 = time.time()
             pieces = g.render_device()
-            jax.block_until_ready(pieces)
+            _force(pieces)
             w = time.time() - t0
             if _plausible(audio_s, w):
                 wall = min(wall, w)
         if wall == float('inf'):
             continue
-        results[name] = audio_s / wall
+        _record(name, audio_s / wall)
         t0 = time.time()
         _ = [np.asarray(x) for x in pieces]
         pull = time.time() - t0
@@ -406,13 +455,13 @@ def main():
         wall = float('inf')
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(bank.render_i16())
+            _force([bank.render_i16()])
             w = time.time() - t0
             if _plausible(audio_s, w):
                 wall = min(wall, w)
         if wall == float('inf'):
             raise RuntimeError('all poly passes replayed')
-        results['poly1024'] = audio_s / wall
+        _record('poly1024', audio_s / wall)
         # context: the reference binary renders this script in 14.0 s
         # on this host (0.57x), i.e. 1024 voices * audio_s / wall
         # voice-seconds per second through the real engine

@@ -450,20 +450,23 @@ _piluts = None
 
 
 def get_tables():
-    """Wave LUTs as device arrays. Must be first called outside any
-    trace (jit captures would leak tracers into the module cache)."""
+    """Wave LUTs as HOST (NumPy) arrays. Inside a jit trace these
+    embed as HLO literals. They must NOT be eager device arrays: a
+    jitted function that closes over a pre-existing device array pays
+    a ~25 ms completion-notification penalty PER CALL on the dev-rig
+    runtime (measured: a trivial `lambda x: x + captured_device_scalar`
+    syncs in 25-32 ms vs 0.03 ms with an inlined np constant) -- that
+    tax, not the tunnel, was the entire "~25 ms per-render sync"."""
     global _luts, _piluts
     if _luts is None:
-        import jax.core
         lut_arr, pilut_arr = W.get_tables()
-        with jax.ensure_compile_time_eval():
-            _luts = jnp.asarray(lut_arr)
-            _piluts = jnp.asarray(pilut_arr)
+        _luts = np.asarray(lut_arr, np.float32)
+        _piluts = np.asarray(pilut_arr, np.float32)
     return _luts, _piluts
 
-PHASE_ADJ = jnp.asarray(W.PICOEFF_PHASE_ADJ)     # (12,) u32
-AMP_SCALE_T = jnp.asarray(W.PICOEFF_AMP_SCALE)   # (12,) f32
-AMP_DC_T = jnp.asarray(W.PICOEFF_AMP_DC)         # (12,) f32
+PHASE_ADJ = np.asarray(W.PICOEFF_PHASE_ADJ)     # (12,) u32
+AMP_SCALE_T = np.asarray(W.PICOEFF_AMP_SCALE)   # (12,) f32
+AMP_DC_T = np.asarray(W.PICOEFF_AMP_DC)         # (12,) f32
 SLENBITS = np.uint32(W.SLENBITS)
 LENMASK = np.int32(W.LENMASK)
 X_SCALE = np.float32(1.0 / W.SLEN)
@@ -480,6 +483,7 @@ def _hermite_coeffs(pilut, ind):
     The differences are (near-)exact in float32 (Sterbenz), so the
     small curvature coefficients keep full relative precision -- the
     naive form loses them to cancellation near table extrema."""
+    pilut = jnp.asarray(pilut)  # np table -> trace-time literal
     s0 = pilut[(ind - 1) & LENMASK]
     s1 = pilut[ind & LENMASK]
     s2 = pilut[(ind + 1) & LENMASK]
@@ -719,6 +723,7 @@ def wosc_diff(pilut, wave, p1_u32, p2_u32):
     x1 = (p1_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     x2 = (p2_u32 & np.uint32(W.SLENMASK)).astype(f32) * X_SCALE
     pd = asi32(p2_u32 - p1_u32)
+    pilut = jnp.asarray(pilut)  # np table -> trace-time literal
     taps1 = jnp.stack([pilut[(i1 - 1) & LENMASK], pilut[i1 & LENMASK],
                        pilut[(i1 + 1) & LENMASK],
                        pilut[(i1 + 2) & LENMASK]])
@@ -1216,8 +1221,9 @@ def _build_tap_mats():
     mats = np.concatenate(
         [m, np.zeros((12, 256, 32), np.float32)], axis=-1) \
         .astype(np.float32)
-    with jax.ensure_compile_time_eval():
-        _tap_mats = jnp.asarray(mats)
+    # host array: inlined as an HLO literal under trace (a captured
+    # device array costs ~25 ms per sync on the dev-rig runtime)
+    _tap_mats = mats
     return _tap_mats
 
 
@@ -1255,8 +1261,7 @@ def _gather_taps_pallas(cells, tapmat):
     g = np.zeros((8, 128), np.float32)
     for k in range(12):
         g[k % 4, k * 8:(k + 1) * 8] = 1.0
-    with jax.ensure_compile_time_eval():
-        gmat = jnp.asarray(g)
+    gmat = g  # host array -> HLO literal under trace
 
     def kernel(idx_ref, t_ref, g_ref, out_ref):
         # rows of ROWS indices; no reshapes (Mosaic-unfriendly)
@@ -1319,9 +1324,9 @@ def _build_window_tabs():
     if _win_tabs is not None:
         return _win_tabs
     _, piluts = W.get_tables()
-    tabs = np.asarray(piluts, np.float32).reshape(12, 16, 128)
-    with jax.ensure_compile_time_eval():
-        _win_tabs = jnp.asarray(tabs)
+    # host array: inlined as an HLO literal under trace (a captured
+    # device array costs ~25 ms per sync on the dev-rig runtime)
+    _win_tabs = np.asarray(piluts, np.float32).reshape(12, 16, 128)
     return _win_tabs
 
 
@@ -1380,6 +1385,11 @@ def _gather_taps_window(cells, tab):
     tab: (16, 128) f32 window table. Returns (4, B) f32 exact taps."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    # np table -> trace-time literal; in EAGER use (validators,
+    # bench self-check) the conversion makes it an argument so all
+    # 12 waves share one compiled kernel instead of minting 12
+    # literal-specialized executables
+    tab = jnp.asarray(tab)
     B = cells.shape[0]
     TILE = _W_TILE
     R = TILE // 128
@@ -1412,6 +1422,7 @@ def _gather_is_window(ph_i32, tab):
     identical to gather_taps + _herp_df64 (same ops, same order)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    tab = jnp.asarray(tab)  # literal under trace, shared arg eagerly
     B = ph_i32.shape[0]
     TILE = _W_TILE
     R = TILE // 128
@@ -1829,7 +1840,8 @@ def wosc_s_filled(wave: int, ph_u32, pp_in, prev_s, first_ir,
     """
     hp, lp = _Is_df64(wave, pp_in)
     hr, lr = _Is_df64(wave, rst_prev)
-    tab = _build_window_tabs()[wave]
+    # literal under trace, shared arg eagerly (see _gather_taps_window)
+    tab = jnp.asarray(_build_window_tabs()[wave])
     ent = _get_wosc_fill_entry(wave)
     return ent(jax.lax.bitcast_convert_type(ph_u32, i32),
                jax.lax.bitcast_convert_type(pp_in, i32),
@@ -1909,9 +1921,10 @@ def gather_taps(cells, wave):
             return _gather_taps_window(
                 cp, _build_window_tabs()[wave])[:, :B]
         mats = _build_tap_mats()
-        return _gather_taps_pallas(cp, mats[wave])[0:4, :B]
+        return _gather_taps_pallas(
+            cp, jnp.asarray(mats[wave]))[0:4, :B]
     _, piluts = get_tables()
-    pilut = piluts[wave]
+    pilut = jnp.asarray(piluts[wave])  # np -> trace-time literal
     c = cells[None, :] + jnp.arange(-1, 3, dtype=i32)[:, None]
     return pilut[c & LENMASK]
 

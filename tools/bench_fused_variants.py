@@ -237,11 +237,11 @@ def main():
                 p = p + jdsp.salt_zero(acc).astype(i32)
             return acc
         cf = jax.jit(chained)
-        jax.block_until_ready(cf(phi))
+        cf(phi).item()   # forced completion (see bench._force)
         best = 1e9
         for _ in range(8):
             t0 = time.time()
-            jax.block_until_ready(cf(phi))
+            cf(phi).item()
             best = min(best, time.time() - t0)
         nspc = best / (K * V * NPV) * 1e9
         print('%-14s exact=%s  %.3f ms/call  %.3f ns/sample'

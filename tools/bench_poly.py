@@ -24,15 +24,22 @@ def main():
     src = make_bank_script(nv, seed=1, duration=dur)
     prg = build_program(ScriptArg(str=src, is_path=False,
                                   no_time=True, predef=[]))
+    import jax.numpy as jnp
+
+    def force(arr):
+        # dependent scalar fetch: block_until_ready can return
+        # without waiting on the dev-rig runtime (see bench._force)
+        return jnp.sum(arr.astype(jnp.int32)).item()
+
     t0 = time.time()
     bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
-    jax.block_until_ready(bank.render_i16())
+    force(bank.render_i16())
     print('warm (compile) %.1fs' % (time.time() - t0), flush=True)
     audio_s = bank._n_valid() / SRATE
     wall = float('inf')
     for _ in range(4):
         t0 = time.time()
-        jax.block_until_ready(bank.render_i16())
+        force(bank.render_i16())
         w = time.time() - t0
         print('pass %.3fs  RTF %.2f' % (w, audio_s / w), flush=True)
         if audio_s / w < 5000:
