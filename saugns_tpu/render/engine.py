@@ -71,6 +71,23 @@ def _ensure_compile_cache():
         backend)
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        # seed from the shipped AOT executable pack (the build-time
+        # analog of the reference's precompiled binary): cold Mosaic
+        # kernel compiles through the dev-rig tunnel take minutes;
+        # the pack (saugns_tpu/aot/<backend>/, written by
+        # tools/aot_pack.py after the headline corpus is warmed)
+        # makes a wiped-cache first run start at load speed
+        pack = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            '..', 'aot', backend)
+        if os.path.isdir(pack):
+            import shutil
+            for fn in os.listdir(pack):
+                dst = os.path.join(cache_dir, fn)
+                if not os.path.exists(dst):
+                    try:
+                        shutil.copyfile(os.path.join(pack, fn), dst)
+                    except OSError:
+                        pass
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           1.0)
