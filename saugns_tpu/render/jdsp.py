@@ -879,6 +879,12 @@ def wosc_selfmod_scan(pilut, wave, phase_buf, abuf, prev_phase, prev_s,
         dvs = np.float32(W.dvscale(wave))
         dvo = np.float32(W.dvoffset(wave))
         h0, l0 = _Is_df64(wave, pp0)
+        if phase_buf.ndim == 1 and selfmod_kernel_available():
+            # one Pallas launch for the whole block: the recurrence
+            # runs as an in-kernel scalar loop (~200x less per-sample
+            # overhead than the lax.scan's while-loop steps)
+            return _wosc_selfmod_pallas(wave, phase_buf, abuf, pp0,
+                                        prev_s, fb_s, h0, l0, length)
 
         def step_df(carry, xs):
             pp, ps, fb, ih, il, i = carry
@@ -924,6 +930,162 @@ def wosc_selfmod_scan(pilut, wave, phase_buf, abuf, prev_phase, prev_s,
         step, (pp0, prev_s, fb_s, jnp.int32(0)),
         (phase_buf, abuf))
     return out, pp, ps, fb
+
+
+# -- Pallas self-PM scalar-loop kernel (TPU) -----------------------------------
+#
+# The self-PM feedback is the one true per-sample recurrence in the
+# reference (wosc.h:273-310): phase[i] depends on s[i-1]. As an XLA
+# lax.scan each sample is a while-loop iteration with ~us-scale step
+# overhead -- pm_feedback_pm.sau rendered at ~1x realtime, ~200x
+# slower than the arithmetic itself. This kernel runs the SAME df64
+# recurrence as a scalar fori_loop INSIDE one Pallas kernel: the
+# block's phases/amps stream through SMEM tiles (grid steps run
+# sequentially on TPU, carrying the oscillator state in SMEM
+# scratch), the 2048-entry PILUT sits in SMEM for dynamic scalar tap
+# loads, and each sample costs ~200 scalar f32 ops with no per-step
+# dispatch. Same ops, same order as the lax.scan body (step_df
+# above); only division lowering may differ by hardware path.
+
+_SM_TILE = 1024
+
+
+def _rint_s(t):
+    """Scalar round-half-even via the 2^23 magic-add trick (Mosaic
+    has no direct rint lowering): exact for |t| < 2^23; |t| >= 2^23
+    is already an integer in f32."""
+    big = np.float32(2.0 ** 23)
+    mag = jnp.where(t >= np.float32(0.0), big, -big)
+    r = (t + mag) - mag
+    return jnp.where(jnp.abs(t) < big, r, t)
+
+
+def _selfmod_kernel_factory(TILE, dvs, dvo):
+    from jax.experimental import pallas as pl
+
+    def kernel(ph_ref, am_ref, si_ref, sf_ref, tab_ref, out_ref,
+               opp_ref, ofs_ref, sc_i_ref, sc_f_ref):
+        gi = pl.program_id(0)
+        first = gi == 0
+        pp0 = jnp.where(first, si_ref[0], sc_i_ref[0])
+        ps0 = jnp.where(first, sf_ref[0], sc_f_ref[0])
+        fb0 = jnp.where(first, sf_ref[1], sc_f_ref[1])
+        ih0 = jnp.where(first, sf_ref[2], sc_f_ref[2])
+        il0 = jnp.where(first, sf_ref[3], sc_f_ref[3])
+        length = si_ref[1]
+        base = gi * np.int32(TILE)
+
+        def body(i, carry):
+            pp, ps, fb, ih, il = carry
+            ph = ph_ref[i]
+            am = am_ref[i]
+            # adj = lrintf(fb*am*2^31) mod 2^32 as i32: rint via the
+            # magic trick, then an exact signed fold into [-2^31,2^31)
+            # (y and rint(y*2^-32)*2^32 share ulp granularity, so the
+            # subtraction is exact; the i32 wraparound add below
+            # matches the scan's int64-add-then-u32-cast mod 2^32)
+            y = _rint_s(fb * am * P31)
+            hi = _rint_s(y * np.float32(2.0 ** -32))
+            r = y - hi * np.float32(2.0 ** 32)
+            r = jnp.where(r == np.float32(2.0 ** 31),
+                          np.float32(-(2.0 ** 31)), r)
+            phase = ph + r.astype(i32)
+            cell = jax.lax.shift_right_logical(phase,
+                                               np.int32(SLENBITS))
+            x = (phase & np.int32(W.SLENMASK)).astype(f32) * X_SCALE
+            m = np.int32(W.LENMASK)
+            t0 = tab_ref[(cell + m) & m]
+            t1 = tab_ref[cell]
+            t2 = tab_ref[(cell + np.int32(1)) & m]
+            t3 = tab_ref[(cell + np.int32(2)) & m]
+            h2, l2 = _herp_df64(t0, t1, t2, t3, x)
+            pd = phase - pp
+            valid = pd != np.int32(0)
+            pdf = jnp.where(valid, pd, np.int32(1)).astype(f32)
+            xf = np.float32(dvs) / pdf
+            dh, dl = _df_add(h2, l2, -ih, -il)
+            mh, ml = _df_mul_f(dh, dl, xf)
+            sh, sl = _df_add(mh, ml, np.float32(dvo), np.float32(0.0))
+            s = jnp.where(valid, sh + sl, ps)
+            active = (base + i) < length
+            av = active & valid
+            out_ref[i] = jnp.where(active, s, np.float32(0.0))
+            return (jnp.where(av, phase, pp), jnp.where(av, s, ps),
+                    jnp.where(active, (fb + s) * np.float32(0.5), fb),
+                    jnp.where(av, h2, ih), jnp.where(av, l2, il))
+
+        # i32 bounds: Python-int bounds mint an int64 induction
+        # variable under jax_enable_x64, which Mosaic rejects
+        pp, ps, fb, ih, il = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(TILE), body,
+            (pp0, ps0, fb0, ih0, il0))
+        sc_i_ref[0] = pp
+        sc_f_ref[0] = ps
+        sc_f_ref[1] = fb
+        sc_f_ref[2] = ih
+        sc_f_ref[3] = il
+        opp_ref[0] = pp
+        ofs_ref[0] = ps
+        ofs_ref[1] = fb
+    return kernel
+
+
+def _wosc_selfmod_pallas(wave, phase_buf, abuf, pp0, prev_s, fb_s,
+                         h0, l0, length, interpret=False):
+    """Run the self-PM recurrence for one block in one Pallas launch.
+    phase_buf: (B,) u32 base phases (incl. external PM), abuf: (B,)
+    f32 amp; scalars pp0 (u32), prev_s, fb_s, h0/l0 (Is(pp0) df64
+    pair). Returns (out, pp, ps, fb) like the lax.scan path."""
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+    B = phase_buf.shape[0]
+    TILE = min(_SM_TILE, B)
+    pad = (-B) % TILE
+    ph = jax.lax.bitcast_convert_type(phase_buf, i32)
+    am = abuf
+    if pad:
+        ph = jnp.concatenate([ph, jnp.zeros(pad, i32)])
+        am = jnp.concatenate([am, jnp.zeros(pad, f32)])
+    n_tiles = (B + pad) // TILE
+    si = jnp.stack([asi32(jnp.asarray(pp0, u32)),
+                    jnp.asarray(length, i32)])
+    sf = jnp.stack([jnp.asarray(prev_s, f32), jnp.asarray(fb_s, f32),
+                    jnp.asarray(h0, f32), jnp.asarray(l0, f32)])
+    _, piluts = W.get_tables()
+    tab = np.asarray(piluts, np.float32)[wave]  # (2048,) literal
+    dvs = np.float32(W.dvscale(wave))
+    dvo = np.float32(W.dvoffset(wave))
+
+    def smem(n):
+        return pl_.BlockSpec((n,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM)
+
+    out, opp, ofs = pl_.pallas_call(
+        _selfmod_kernel_factory(TILE, dvs, dvo),
+        grid=(n_tiles,),
+        in_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
+                                memory_space=pltpu.SMEM),
+                  pl_.BlockSpec((TILE,), lambda i: (i,),
+                                memory_space=pltpu.SMEM),
+                  smem(2), smem(4), smem(2048)],
+        out_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
+                                 memory_space=pltpu.SMEM),
+                   smem(1), smem(2)],
+        out_shape=[jax.ShapeDtypeStruct((B + pad,), f32),
+                   jax.ShapeDtypeStruct((1,), i32),
+                   jax.ShapeDtypeStruct((2,), f32)],
+        scratch_shapes=[pltpu.SMEM((1,), i32), pltpu.SMEM((4,), f32)],
+        interpret=interpret,
+    )(ph, am, si, jnp.asarray(sf), jnp.asarray(tab))
+    return out[:B], asu32(opp[0]), ofs[0], ofs[1]
+
+
+def selfmod_kernel_available():
+    """Whether the Pallas self-PM kernel replaces the per-sample
+    lax.scan (TPU only; SAUGNS_TPU_SELFMOD_KERNEL=0 restores the
+    scan)."""
+    return _on_tpu() and os.environ.get(
+        'SAUGNS_TPU_SELFMOD_KERNEL', '1') == '1'
 
 
 # -- random segments oscillator ----------------------------------------------
