@@ -116,6 +116,15 @@ _state = {'tot_audio': 0.0, 'tot_wall': 0.0, 'done': False,
           'per_config': {}}
 _lock = threading.Lock()
 
+# at most 2 cold-compile streams in flight: a 4-way concurrent
+# Mosaic-compile storm wedged the dev-rig's remote compile service
+# hard enough that even fresh processes hung for minutes (measured
+# this round). With the AOT pack seeded this semaphore is never
+# contended (everything loads from cache); it only throttles the
+# stale-pack worst case.
+_compile_sem = threading.BoundedSemaphore(
+    int(os.environ.get('BENCH_COMPILE_CONCURRENCY', '2')))
+
 
 def _emit_json():
     with _lock:
@@ -236,13 +245,16 @@ def main():
     import jax
     from saugns_tpu.lang.program import ScriptArg, build_program
     from saugns_tpu.render.engine import JaxGenerator
+    from saugns_tpu.render import engine as _engine
     from saugns_tpu.render import jdsp
+    # configure the persistent compile cache BEFORE the first kernel
+    # compile: the self-check's Pallas kernels otherwise bypass it
+    # entirely (engine only configures it at JaxGenerator
+    # construction), and a cold Mosaic compile through the dev-rig
+    # tunnel is minutes -- this exact gap ate the round-3 driver
+    # budget before a single corpus config was measured
+    _engine._ensure_compile_cache()
     jdsp.get_tables()
-    try:
-        _self_check()
-    except Exception as e:
-        print('# self-check errored: %s' % e, file=sys.stderr,
-              flush=True)
 
     results = {}
 
@@ -272,7 +284,8 @@ def main():
         if prg is None:
             return None
         g = JaxGenerator(prg, SRATE)
-        _force(g.render_device())  # compile + warm + first-touch
+        with _compile_sem:
+            _force(g.render_device())  # compile + warm + first-touch
         audio_s = g.plan.signal_end / SRATE
         wall = None
         for _ in range(3):
@@ -289,7 +302,16 @@ def main():
     # BEFORE wsin/poly -- if the budget dies here, the partial
     # aggregate still covers only corpus configs, and the JSON says
     # how many. Each records one timed pass as the fallback aggregate.
+    # The self-check runs on the main thread CONCURRENTLY with the
+    # warms (not before them): its kernel compiles must never starve
+    # the corpus aggregate of budget.
     futs = [ex.submit(warm_one, cfg) for cfg in CONFIGS]
+    try:
+        with _compile_sem:
+            _self_check()
+    except Exception as e:
+        print('# self-check errored: %s' % e, file=sys.stderr,
+              flush=True)
     gate_gen = None
     for fut in as_completed(futs):
         w = fut.result()
@@ -389,7 +411,8 @@ def main():
         prg = build_program(ScriptArg(str=src, is_path=False,
                                       no_time=True, predef=[]))
         bank = BankRender(prg, SRATE, mesh=None, ordered_mix=False)
-        _force([bank.render_i16()])
+        with _compile_sem:
+            _force([bank.render_i16()])
         return bank
 
     poly_fut = ex.submit(warm_poly)
