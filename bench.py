@@ -255,6 +255,27 @@ def main():
     # budget before a single corpus config was measured
     _engine._ensure_compile_cache()
     jdsp.get_tables()
+    cache_dir = os.path.join(
+        os.environ.get('SAUGNS_TPU_CACHE',
+                       os.path.expanduser('~/.cache/saugns_tpu_xla')),
+        jax.default_backend())
+    n_seed = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
+        else 0
+    print('# compile cache ready (%d entries); probing device...'
+          % n_seed, file=sys.stderr, flush=True)
+
+    # tunnel-health probe in a side thread: on the shared dev rig the
+    # remote service can wedge under another tenant's load, blocking
+    # every RPC indefinitely -- if this line never appears in a
+    # watchdogged run's stderr, the wedge hit before ANY device work
+    # (environmental, not a compile-cost problem)
+    def _probe():
+        import jax.numpy as jnp
+        t0 = time.time()
+        v = float(jnp.sum(jnp.arange(8.0)))
+        print('# device probe: sum=%g in %.2fs' % (v, time.time() - t0),
+              file=sys.stderr, flush=True)
+    threading.Thread(target=_probe, daemon=True).start()
 
     results = {}
 
@@ -285,6 +306,8 @@ def main():
             return None
         g = JaxGenerator(prg, SRATE)
         with _compile_sem:
+            print('# %s: dispatching first render' % name,
+                  file=sys.stderr, flush=True)
             _force(g.render_device())  # compile + warm + first-touch
         audio_s = g.plan.signal_end / SRATE
         wall = None
