@@ -39,3 +39,5 @@ if 'xla_cpu_max_isa' not in _os.environ.get('XLA_FLAGS', '') \
                                 + ' --xla_cpu_max_isa=AVX').strip()
 
 from .lang.program import Program, build_program  # noqa: F401
+from .api import (SAUError, compile_script, render,  # noqa: F401
+                  write_wav)
