@@ -52,7 +52,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_RTF_BASELINE = 123.4  # reference binary, this host CPU, 96 kHz
-DEADLINE = float(os.environ.get('BENCH_DEADLINE', '540'))
+# the internal watchdog must fire BEFORE any external `timeout 540`
+# wrapper kills the process: a round-4 rehearsal under `timeout 540`
+# lost the race (rc=124, no JSON at all) when the deadline and the
+# watchdog were both 540 s -- a partial aggregate always beats nothing
+DEADLINE = float(os.environ.get('BENCH_DEADLINE', '505'))
 
 # the three corpus configs form the aggregate; wsin is the latency
 # smoke config (reported separately, never in the aggregate)
@@ -116,14 +120,15 @@ _state = {'tot_audio': 0.0, 'tot_wall': 0.0, 'done': False,
           'per_config': {}}
 _lock = threading.Lock()
 
-# at most 2 cold-compile streams in flight: a 4-way concurrent
+# at most 1 cold-compile stream in flight: a 4-way concurrent
 # Mosaic-compile storm wedged the dev-rig's remote compile service
-# hard enough that even fresh processes hung for minutes (measured
-# this round). With the AOT pack seeded this semaphore is never
-# contended (everything loads from cache); it only throttles the
-# stale-pack worst case.
+# hard enough that even fresh processes hung for minutes, and a
+# round-4 rehearsal with 2 streams + the trivial probe wedged it
+# again for 15+ minutes (the probe's jnp.sum took 283 s). With the
+# cache warm this semaphore is never contended (everything loads);
+# it only serializes the cold worst case.
 _compile_sem = threading.BoundedSemaphore(
-    int(os.environ.get('BENCH_COMPILE_CONCURRENCY', '2')))
+    int(os.environ.get('BENCH_COMPILE_CONCURRENCY', '1')))
 
 
 def _emit_json():
@@ -320,21 +325,14 @@ def main():
                 break
         return name, g, wall
 
-    # phase 1: warm the three corpus configs CONCURRENTLY (the
-    # compile/cache loads are tunnel-bound and overlap) and STRICTLY
-    # BEFORE wsin/poly -- if the budget dies here, the partial
+    # phase 1: warm the three corpus configs and STRICTLY BEFORE
+    # wsin/poly/self-check -- if the budget dies here, the partial
     # aggregate still covers only corpus configs, and the JSON says
     # how many. Each records one timed pass as the fallback aggregate.
-    # The self-check runs on the main thread CONCURRENTLY with the
-    # warms (not before them): its kernel compiles must never starve
-    # the corpus aggregate of budget.
+    # The self-check runs AFTER the warms (phase 1a): on a cold cache
+    # its Pallas-kernel compiles must never starve the corpus
+    # aggregate of budget (they ate the round-3 driver capture).
     futs = [ex.submit(warm_one, cfg) for cfg in CONFIGS]
-    try:
-        with _compile_sem:
-            _self_check()
-    except Exception as e:
-        print('# self-check errored: %s' % e, file=sys.stderr,
-              flush=True)
     gate_gen = None
     for fut in as_completed(futs):
         w = fut.result()
@@ -355,6 +353,17 @@ def main():
                 _state['n_configs'] += 1
         print('# %-22s warmed; single-pass RTF %8.1f'
               % (name, audio_s / wall), file=sys.stderr,
+              flush=True)
+
+    # phase 1a: device-path fidelity self-check (tap-gather /
+    # forward-fill kernels, Wsin device bit-identity) -- after the
+    # corpus warms so its kernel compiles can't eat their budget,
+    # before any timing so a broken Pallas kernel is loudly flagged
+    try:
+        with _compile_sem:
+            _self_check()
+    except Exception as e:
+        print('# self-check errored: %s' % e, file=sys.stderr,
               flush=True)
 
     # phase 1b: on-chip corpus fidelity gate, before any headline
