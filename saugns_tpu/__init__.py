@@ -39,5 +39,14 @@ if 'xla_cpu_max_isa' not in _os.environ.get('XLA_FLAGS', '') \
                                 + ' --xla_cpu_max_isa=AVX').strip()
 
 from .lang.program import Program, build_program  # noqa: F401
+# Load the `render` SUBPACKAGE before binding the `render` FUNCTION:
+# the import system sets a parent-package attribute for a submodule
+# only on its first load, so importing it here (cheap -- its __init__
+# is empty) guarantees a later `from .render.engine import ...`
+# cannot silently rebind `saugns_tpu.render` from the API function
+# back to the module. Function wins; the module stays reachable as
+# `saugns_tpu.render` in sys.modules and via `from saugns_tpu.render
+# import ...` forms (which never consult this attribute).
+from . import render as _render_pkg  # noqa: F401
 from .api import (SAUError, compile_script, render,  # noqa: F401
                   write_wav)

@@ -1669,10 +1669,13 @@ def parse_script_arg(arg: ScriptArg):
     Mirrors the reference's actual control flow: a failed open or a
     '$?' requirement failure leaves ``name`` NULL but still freezes
     whatever the ParseConv accumulated into a program (printed as
-    Program: \"(null)\" and rendered normally) -- measured from the
-    binary: missing files and \"skipped\" scripts both build and exit
-    0 (parse_file NULL goes to DONE, which still runs fini_ParseConv,
-    sau/parser.c:2104-2113)."""
+    Program: \"(null)\"), and -- because on that path ``parse->sopt``
+    is never assigned and stays mempool-zeroed (parse_file NULL goes
+    to DONE before the sopt copy, sau/parser.c:2104-2113) -- the
+    program's ampmult is 0.0, so a \"skipped\" script renders as pure
+    silence for its full duration. Byte-compared against the binary:
+    missing files and skipped scripts both build, exit 0, and render
+    zeros."""
     pr = Parser(arg)
     sc = pr.sc
     name = None
@@ -1685,4 +1688,14 @@ def parse_script_arg(arg: ScriptArg):
             name = None
     if not pr.pc.check_validity(name):
         return None
-    return pr.pc.create_program(name, pr.sl.sopt)
+    sopt = pr.sl.sopt
+    if name is None:
+        # the reference's zeroed parse->sopt: ampmult 0 (silence) and
+        # no SOPT_AMPMULT bit (so AMP_DIV_VOICES is set, same as the
+        # reference's zeroed flags word)
+        sopt = S.ScriptOptions(set=0, ampmult=0.0, A4_freq=0.0,
+                               def_time_ms=0, def_ampmult=0.0,
+                               def_freq=0.0, def_relfreq=0.0,
+                               def_chanmix=0.0, note_key=0,
+                               key_octave=0, key_system=0)
+    return pr.pc.create_program(name, sopt)
