@@ -49,7 +49,13 @@ def _resolve_program(source: Optional[str], path: Optional[str],
                    is_path=path is not None,
                    no_time=True, predef=list(predef))
     prg = build_program(sa)
-    if prg is None:
+    # The reference's sau_build_Program returns a non-NULL *empty*
+    # program even when parse_file fails or a $? requirement aborts the
+    # script (saugns.c:680-691 exits 0 on that path) -- the CLI keeps
+    # that exact behavior.  The failure is still distinguishable: the
+    # program's name stays NULL (sau/parser.c:2104-2113), which is what
+    # the library API surfaces as an exception.
+    if prg is None or prg.name is None:
         raise SAUError('script failed to compile: %r'
                        % (path if path is not None else source))
     return prg

@@ -10,13 +10,13 @@ def get_help_names():
     from ..dsp.lines import LINE_NAMES
     from ..dsp.wavetables import WAVE_NAMES
     from ..lang.program import NOISE_NAMES
+    # The reference prints the *bare* name arrays for every topic
+    # (sau/help.c:73-90 over sau/math.h:197-217) -- no '()' suffix on
+    # functions, no '$' prefix on variables.
     return {
         'help': None,  # filled below
-        'math': tuple(n + ('()' if p == prim.MATH_VAL_F else
-                           '()' if p in (prim.MATH_STATE_F,
-                                         prim.MATH_STATEVAL_F) else '')
-                      for n, p in zip(prim.MATH_NAMES, prim.MATH_PARAMS)),
-        'variable': tuple('$' + n for n in prim.MATH_VARS_NAMES),
+        'math': tuple(prim.MATH_NAMES),
+        'variable': tuple(prim.MATH_VARS_NAMES),
         'line': tuple(LINE_NAMES),
         'wave': tuple(WAVE_NAMES),
         'noise': tuple(NOISE_NAMES),

@@ -47,10 +47,45 @@ def test_compile_script_reusable_program():
 
 
 def test_compile_error_raises(capfd):
+    # A failed script = NULL-name program in the reference
+    # (sau/parser.c:2104-2113).  Two real failure modes: an unmet
+    # '$?var' hard requirement (sau/parser.c:1870-1877) and a missing
+    # file.  (Note 'W' alone is NOT an error: the reference builds a
+    # default-parameter program for it -- verified against the binary.)
     with pytest.raises(st.SAUError):
-        st.compile_script('W')  # wave type missing -> parse error
+        st.compile_script('$?freq\nWsin f$freq t0.05')
     err = capfd.readouterr().err
-    assert 'error' in err or 'warning' in err
+    assert 'failed requirement' in err
+    with pytest.raises(st.SAUError):
+        st.compile_script(path='/nonexistent/nope.sau')
+    capfd.readouterr()
+    # and a parse-warning script still compiles, like the binary
+    prg = st.compile_script('W')
+    assert prg.name is not None
+
+
+def test_failed_script_cli_rc0_but_api_raises(capfd, tmp_path):
+    # Pin BOTH contracts at once.  The reference binary's
+    # sau_build_Program returns a non-NULL empty program on parse
+    # failure (name stays NULL, sau/parser.c:2104-2113), so both in
+    # play mode and in -c check mode the binary exits 0 on a failed
+    # script (saugns.c:680-691; verified against the binary with an
+    # unmet $? requirement AND with a missing file).  The CLI must
+    # match that.  The library API, by contrast, raises.
+    from saugns_tpu.cli import main as cli_main
+    bad = '$?freq\nWsin f$freq t0.05'  # unmet hard requirement
+    rc = cli_main(['-m', '-e', bad])
+    assert rc == 0
+    capfd.readouterr()
+    rc = cli_main(['-c', '-e', bad])
+    assert rc == 0
+    capfd.readouterr()
+    rc = cli_main(['-c', '/nonexistent/nope.sau'])
+    assert rc == 0
+    capfd.readouterr()
+    with pytest.raises(st.SAUError):
+        st.compile_script(bad)
+    capfd.readouterr()
 
 
 def test_arg_validation():
@@ -63,8 +98,10 @@ def test_arg_validation():
 
 
 def test_predef_matches_cli_D():
-    # external value variable ($?x hard requirement, sau/parser.c)
-    src = 'Wsin f$?freq t0.05'
+    # external value variable with $?x hard requirement as a statement
+    # (sau/parser.c:1870-1877; '$?' inline in a value position is NOT
+    # valid SAU -- the reference warns and ignores it there)
+    src = '$?freq\nWsin f$freq t0.05'
     a = st.render(src, srate=6000, backend='cpu',
                   predef=[('freq', 440.0)])
     b = st.render(WSIN, srate=6000, backend='cpu')

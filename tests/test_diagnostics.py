@@ -113,6 +113,59 @@ def test_unset_variable_fallback_notice():
     assert rc == 0
 
 
+# -h <topic> byte parity (sau/help.c:73-90 printing the bare name
+# arrays from sau/math.h:197-217 etc.; captured from the v0.4.7
+# binary).  The list follows the 4-line usage block; only the binary
+# name in the usage block legitimately differs.
+HELP_GOLDENS = [
+    ('help',
+     "List of 'help' names (pass '-h' without topic for general "
+     "usage):\n\thelp, math, variable, line, wave, noise\n"),
+    ('math',
+     "List of 'math' names (pass '-h' without topic for general "
+     "usage):\n\tabs, arbf, arhf, cos, exp, log, met, mf, pi, rand, "
+     "rint,\n\tsgn, sin, sqrt, time\n"),
+    ('variable',
+     "List of 'variable' names (pass '-h' without topic for general "
+     "usage):\n\tseed\n"),
+    ('line',
+     "List of 'line' names (pass '-h' without topic for general "
+     "usage):\n\tcos, lin, sah, exp, log, xpe, lge, sqe, cub, smo, "
+     "ncl, nhl,\n\tuwh\n"),
+    ('wave',
+     "List of 'wave' names (pass '-h' without topic for general "
+     "usage):\n\tsin, tri, srs, sqr, ean, cat, eto, par, mto, saw, "
+     "hsi, spa\n"),
+    ('noise',
+     "List of 'noise' names (pass '-h' without topic for general "
+     "usage):\n\twh, gw, bw, tw, re, vi, bv\n"),
+]
+
+
+@pytest.mark.parametrize('topic,expect', HELP_GOLDENS,
+                         ids=[g[0] for g in HELP_GOLDENS])
+def test_help_topic_byte_parity(topic, expect):
+    rc, out, err = run_cli(['-h', topic])
+    # help goes to stdout when it is the requested action
+    body = out.split('\n\n', 1)[1]
+    assert body == expect
+    usage = out.split('\n\n', 1)[0].replace('saugns-tpu', 'saugns')
+    assert usage == (
+        'Usage: saugns [-a | -m] [-r <srate>] [--mono] [-o <file>] '
+        '[--stdout]\n'
+        '              [-d] [-p] [variable=value] [-e] <script>...\n'
+        '       saugns -c [-d] [-p] [variable=value] [-e] <script>...')
+    assert rc == 0
+
+
+def test_help_unknown_topic_prints_topic_list():
+    # an unrecognized topic falls back to the 'help' topic list
+    # (saugns.c:59-71) and still exits 0
+    rc, out, err = run_cli(['-h', 'bogus'])
+    assert "List of 'help' names" in out + err
+    assert rc == 0
+
+
 def test_missing_file_builds_null_program():
     rc, out, err = run_cli(['-cdp', '/nonexistent_saugns_script.sau'])
     assert err == ('error: couldn\'t open script file '
