@@ -292,7 +292,10 @@ def play(prgs, srate, options, wav_path):
     # "trivially shardable" -- SURVEY §2.5); sink writes stay in
     # program order, so output bytes are identical
     queue = None
-    if not (options & OPT_MODE_CHECK) and not player.split_gen:
+    muted = (player.ad is None and player.sf is None
+             and not (options & OPT_AUDIO_STDOUT))
+    if not (options & OPT_MODE_CHECK) and not player.split_gen \
+            and not muted:
         try:
             from .parallel.scripts import ShardedRenderQueue
             queue = ShardedRenderQueue(

@@ -121,6 +121,19 @@ class Player:
         use_stdout = (self.options & OPT_AUDIO_STDOUT) != 0
         if gen is None:
             gen = _make_generator(prg, self.srate)
+        # muted fast path: no sink consumes samples (-m with no file/
+        # stdout), so a device-resident generator renders entirely on
+        # device -- dispatch is asynchronous, letting a script list
+        # pipeline, and finish() forces completion with one sync
+        if (self.ad is None and self.sf is None and not use_stdout
+                and not self.split_gen and stereo
+                and hasattr(gen, 'render_checksum')):
+            try:
+                self._deferred = getattr(self, '_deferred', [])
+                self._deferred.append(gen.render_checksum())
+                return True
+            except Exception:
+                pass  # fall through to the streaming loop
         ad_gen = _make_generator(prg, self.ad_srate) \
             if self.split_gen else None
         error = False
@@ -149,6 +162,15 @@ class Player:
 
     def finish(self):
         ok = True
+        deferred = getattr(self, '_deferred', None)
+        if deferred:
+            # one sync for every muted render dispatched by run()
+            from ..render.engine import force_scalars
+            try:
+                force_scalars(deferred)
+            except Exception:
+                ok = False
+            self._deferred = []
         if self.ad is not None:
             self.ad.close()
         if self.sf is not None:
