@@ -243,13 +243,18 @@ class BankRender:
     the stereo mix is psum-reduced over ICI."""
 
     def __init__(self, prg, srate, mesh: Optional[Mesh] = None,
-                 ordered_mix: Optional[bool] = None):
+                 ordered_mix: Optional[bool] = None,
+                 mesh_mix: str = 'psum'):
         self.bp = BankPlan(prg, srate)
         if not self.bp.ok:
             raise ValueError('program is not a uniform voice bank: '
                              + self.bp.why)
         self.bp.build()
         self.mesh = mesh
+        # cross-device mix: 'psum' (one all-reduce; f32 adds
+        # reassociate across devices) or 'ring' (n_dev ppermute hops;
+        # bit-exact left-to-right voice chain)
+        self.mesh_mix = mesh_mix
         # default: exact. Single-device renders (any voice count, any
         # slab split) then reproduce the engine's left-to-right VMIX
         # chain bit-for-bit; the chain is unrolled and fuses to
@@ -448,27 +453,74 @@ class BankRender:
             return mix[:self._n_valid()]
 
         vspec = PSpec('voices')
+        n_dev_mix = self.mesh.shape['voices']
+        ring = self.mesh_mix == 'ring'
+        glen = bp.gch * bp.nc * bp.B
 
         def shard_body(dyn, *xs_groups):
             carry = jax.vmap(init_one)(dyn)
-            pieces = []
+            outs_g = []
             for xsg in xs_groups:
                 carry, outs = jax.vmap(scan_fn)(carry, xsg)
-                pieces.append(self._mix_local(outs))
-            mix = jnp.concatenate(pieces, axis=0)
-            return jax.lax.psum(mix, 'voices')
+                outs_g.append(outs)
+            if not ring:
+                mix = jnp.concatenate(
+                    [self._mix_local(o) for o in outs_g], axis=0)
+                return jax.lax.psum(mix, 'voices')
+            # ring-ordered mix: device d receives the running partial
+            # from device d-1 and continues the left-to-right voice
+            # chain with its own (contiguous) voice range, so the
+            # cross-device accumulation order is EXACTLY the engine's
+            # VMIX chain (psum would reassociate the f32 adds). Cost:
+            # n_dev ppermute hops instead of one all-reduce -- the
+            # exactness/latency tradeoff is the caller's choice.
+            idx = jax.lax.axis_index('voices')
+            perm = [(i, (i + 1) % n_dev_mix)
+                    for i in range(n_dev_mix)]
+            acc = jnp.zeros((glen * len(outs_g), 2), f32)
+            for d in range(n_dev_mix):
+                parts = [self._mix_local(
+                    outs_g[g], acc[g * glen:(g + 1) * glen])
+                    for g in range(len(outs_g))]
+                new = parts[0] if len(parts) == 1 \
+                    else jnp.concatenate(parts, axis=0)
+                acc = jnp.where(idx == d, new, acc)
+                acc = jax.lax.ppermute(acc, 'voices', perm)
+            # after n_dev hops the finished chain sits on device 0;
+            # replicate it (adding exact zeros elsewhere)
+            return jax.lax.psum(
+                jnp.where(idx == 0, acc, jnp.zeros_like(acc)),
+                'voices')
 
-        in_specs = (jax.tree.map(lambda _: vspec, bp.dyn),) + tuple(
-            jax.tree.map(lambda _: vspec, g) for g in bp.xs_groups)
+        # uneven voice counts: pad the voice axis to a multiple of the
+        # mesh's 'voices' extent with inert voices (every stage length
+        # zeroed -> all sample masks false -> zero mix contribution,
+        # which is exact: the reference's mix accumulation adds each
+        # absent voice as nothing, and x + 0.0f == x for the finite
+        # mix values here)
+        n_dev = self.mesh.shape['voices']
+        pad = (-bp.n_voices) % n_dev
+        dyn_h, xs_h = bp.dyn, bp.xs_groups
+        if pad:
+            def padv(a):
+                a = np.asarray(a)
+                return np.concatenate(
+                    [a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+            dyn_h = jax.tree.map(padv, dyn_h)
+            xs_h = [jax.tree.map(padv, g) for g in xs_h]
+            for g in xs_h:
+                g['lens'][bp.n_voices:] = 0
+        in_specs = (jax.tree.map(lambda _: vspec, dyn_h),) + tuple(
+            jax.tree.map(lambda _: vspec, g) for g in xs_h)
         fn = jax.jit(jax.shard_map(
             shard_body, mesh=self.mesh, in_specs=in_specs,
             out_specs=PSpec(), check_vma=False))
         dyn_sh = jax.device_put(
-            bp.dyn, NamedSharding(self.mesh, vspec))
+            dyn_h, NamedSharding(self.mesh, vspec))
         xs_sh = [jax.device_put(
             g, jax.tree.map(
                 lambda _: NamedSharding(self.mesh, vspec), g))
-            for g in bp.xs_groups]
+            for g in xs_h]
         mix = fn(dyn_sh, *xs_sh)
         return mix[:self._n_valid()]
 

@@ -148,7 +148,7 @@ class FlatSegment:
     _cache: Dict = {}
 
     def __init__(self, plan, ep, bake, seg, srate,
-                 chunk_samples=None):
+                 chunk_samples=None, row_multiple=1):
         from .engine import _ensure_compile_cache
         _ensure_compile_cache()
         self.plan = plan
@@ -176,6 +176,11 @@ class FlatSegment:
         while q * 8 < nb:
             q *= 2
         nb_r = -(-nb // q) * q
+        # row_multiple: round the padded block-row count up so the
+        # row axis divides a mesh axis (time-axis sharding,
+        # parallel/timeshard.py); padded rows are inert (lens 0)
+        if row_multiple > 1:
+            nb_r = -(-nb_r // row_multiple) * row_multiple
         nc = min(cap, nb_r)
         nch = -(-nb_r // nc)
         # chunks run in groups of <= STREAM_GROUP under one dispatch;

@@ -112,6 +112,11 @@ def franssgauss32(n):
     c1 = np.float32(+5.52274428214641442648)
     c2 = np.float32(-138.87126103150588693697)
     x2 = a * a
+    # barrier: identity for values/rounding, but required inside the
+    # Pallas scalar kernels -- squaring this hash-derived value gets
+    # miscompiled to 0.0 there without it (observed on jax 0.9
+    # interpret mode; the barrier blocks the faulty rewrite)
+    x2 = jax.lax.optimization_barrier(x2)
     x4 = x2 * x2
     c = np.float32(0.5) + a * (c0 + x4 * (c1 + x4 * c2))
     cx2 = c * c
@@ -1253,9 +1258,118 @@ def rasg_shape(line, oflags, phase, a, b):
     return line_val(line, phase, a2, b2)
 
 
+_rasg_sm_kernels = {}
+
+
+def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
+                                 oflags):
+    """Pallas scalar-loop kernel for the RasG self-PM recurrence
+    (rasg.h:242-294,764-772) -- the same approach as the wosc
+    self-PM kernel: the per-sample feedback chain runs as a fori_loop
+    INSIDE one kernel launch (SMEM tiles, grid steps sequential on
+    TPU, state carried in SMEM scratch). Unlike wosc there is no
+    table: rasg_map/rasg_shape are pure arithmetic, so the body
+    reuses the exact trace-time-pruned jnp code the lax.scan path
+    evaluates -- same ops, same order, bit-identical."""
+    from jax.experimental import pallas as pl
+
+    def kernel(ph_ref, cy_ref, am_ref, si_ref, sf_ref, out_ref,
+               ofs_ref, sc_f_ref):
+        gi = pl.program_id(0)
+        first = gi == 0
+        ps0 = jnp.where(first, sf_ref[0], sc_f_ref[0])
+        fb0 = jnp.where(first, sf_ref[1], sc_f_ref[1])
+        length = si_ref[0]
+        base = gi * np.int32(TILE)
+
+        def body(i, carry):
+            ps, fb = carry
+            ph0 = ph_ref[i]
+            cyc0 = cy_ref[i]
+            am = am_ref[i]
+            pm_a = fb * am * np.float32(0.5)
+            phase = ph0 + pm_a
+            cycle_adj = jnp.floor(phase).astype(i32)
+            cycle = asu32(cyc0 + cycle_adj)
+            phase = phase - cycle_adj.astype(f32)
+            a, b = rasg_map(func, level, alpha, oflags, cycle)
+            s = rasg_shape(line, oflags, phase, a, b)
+            active = (base + i) < length
+            out_ref[i] = jnp.where(active, s, np.float32(0.0))
+            return (jnp.where(active, s, ps),
+                    jnp.where(active, (fb + s + ps) * np.float32(0.5),
+                              fb))
+
+        ps, fb = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(TILE), body, (ps0, fb0))
+        sc_f_ref[0] = ps
+        sc_f_ref[1] = fb
+        ofs_ref[0] = ps
+        ofs_ref[1] = fb
+    return kernel
+
+
+def _rasg_selfmod_pallas(func, line, level, alpha, oflags, phase_buf,
+                         cycle_buf, abuf, prev_s, fb_s, length,
+                         interpret=False):
+    """One-launch RasG self-PM block; same returns as the scan path
+    (out, ps, fb)."""
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+    B = phase_buf.shape[0]
+    TILE = min(_SM_TILE, B)
+    pad = (-B) % TILE
+    ph = phase_buf
+    cy = jax.lax.bitcast_convert_type(cycle_buf, i32)
+    am = abuf
+    if pad:
+        ph = jnp.concatenate([ph, jnp.zeros(pad, f32)])
+        cy = jnp.concatenate([cy, jnp.zeros(pad, i32)])
+        am = jnp.concatenate([am, jnp.zeros(pad, f32)])
+    n_tiles = (B + pad) // TILE
+    si = jnp.stack([jnp.asarray(length, i32)])
+    sf = jnp.stack([jnp.asarray(prev_s, f32), jnp.asarray(fb_s, f32)])
+
+    def smem(n):
+        return pl_.BlockSpec((n,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM)
+
+    key = (TILE, func, line, int(level), int(alpha), int(oflags),
+           bool(interpret))
+    kern = _rasg_sm_kernels.get(key)
+    if kern is None:
+        kern = _rasg_selfmod_kernel_factory(TILE, func, line, level,
+                                            alpha, oflags)
+        _rasg_sm_kernels[key] = kern
+    out, ofs = pl_.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
+                                memory_space=pltpu.SMEM),
+                  pl_.BlockSpec((TILE,), lambda i: (i,),
+                                memory_space=pltpu.SMEM),
+                  pl_.BlockSpec((TILE,), lambda i: (i,),
+                                memory_space=pltpu.SMEM),
+                  smem(1), smem(2)],
+        out_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
+                                 memory_space=pltpu.SMEM),
+                   smem(2)],
+        out_shape=[jax.ShapeDtypeStruct((B + pad,), f32),
+                   jax.ShapeDtypeStruct((2,), f32)],
+        scratch_shapes=[pltpu.SMEM((2,), f32)],
+        interpret=interpret,
+    )(ph, cy, am, si, sf)
+    return out[:B], ofs[0], ofs[1]
+
+
 def rasg_selfmod_scan(func, line, level, alpha, oflags, phase_buf,
                       cycle_buf, abuf, prev_s, fb_s, length):
     """sauRasG_run_selfmod (rasg.h:242-294, 764-772) as a scan."""
+    if (phase_buf.ndim == 1 and selfmod_kernel_available()
+            and isinstance(func, int) and isinstance(oflags, int)):
+        return _rasg_selfmod_pallas(func, line, level, alpha, oflags,
+                                    phase_buf, cycle_buf, abuf,
+                                    prev_s, fb_s, length)
 
     def step(carry, xs):
         ps, fb, i = carry

@@ -102,3 +102,41 @@ def test_selfmod_kernel_unpadded_tail():
     ph = np.cumsum(inc.astype(np.uint64)).astype(np.uint32)
     am = rng.rand(B).astype(np.float32)
     _compare(2, ph, am, np.uint32(7), 0.0, 0.0, False, B)
+
+
+# -- RasG self-PM kernel (jdsp._rasg_selfmod_pallas) --------------------------
+
+def _rasg_compare(func, line, oflags, B, length, seed=0,
+                  level=0x7fffffff >> 9, alpha=0x9e3779b9):
+    rng = np.random.RandomState(seed)
+    ph = rng.rand(B).astype(np.float32)
+    cy = rng.randint(0, 1 << 31, B).astype(np.uint32)
+    am = (rng.rand(B).astype(np.float32) - 0.5)
+    args = (jnp.asarray(ph), jnp.asarray(cy), jnp.asarray(am),
+            np.float32(0.1), np.float32(0.2), jnp.int32(length))
+    o_r, ps_r, fb_r = jdsp.rasg_selfmod_scan(
+        func, line, level, alpha, oflags, *args)
+    o_k, ps_k, fb_k = jdsp._rasg_selfmod_pallas(
+        func, line, level, alpha, oflags, *args, interpret=True)
+    assert (np.asarray(o_r) == np.asarray(o_k)).all()
+    assert float(ps_r) == float(ps_k)
+    assert float(fb_r) == float(fb_k)
+
+
+@pytest.mark.parametrize('func', [0, 1, 2, 3, 4, 5])
+def test_rasg_selfmod_kernel_funcs(func):
+    # 3 tiles: exercises the cross-tile SMEM state carry
+    _rasg_compare(func, 1, 0, 3072, 3072, seed=func)
+
+
+@pytest.mark.parametrize('oflags', [1, 2, 4, 8, 15])
+def test_rasg_selfmod_kernel_flags(oflags):
+    _rasg_compare(0, 0, oflags, 2048, 2048, seed=20 + oflags)
+
+
+def test_rasg_selfmod_kernel_partial_length():
+    _rasg_compare(5, 3, 0, 2048, 1500, seed=42)
+
+
+def test_rasg_selfmod_kernel_unpadded_tail():
+    _rasg_compare(2, 11, 4, 1500, 1500, seed=7)
