@@ -1686,6 +1686,7 @@ def parse_script_arg(arg: ScriptArg):
         if pr.script_fail:
             sc.notice(None, "failed requirement, script will be skipped")
             name = None
+    pr.st.print_stats()  # fini_Symtab (SAUGNS_TPU_SYMTAB_STATS=1)
     if not pr.pc.check_validity(name):
         return None
     sopt = pr.sl.sopt

@@ -15,6 +15,7 @@ Key semantics preserved (citations into /root/reference):
 """
 from __future__ import annotations
 
+import os
 import sys
 
 SCAN_SPACE = ' '
@@ -78,6 +79,14 @@ class Scanner:
         self.s_error = False
         self.data = None  # ScanLookup attached by parser
         self.hash_filter = False  # '#'-filter installed by parser
+        # test statistics (the reference's compile-time
+        # SAU_SCANNER_STATS toggle, sau/common.h:120-121,
+        # sau/scanner.c:23-25,64-66 -- its hits/misses counters are
+        # declared+printed but never incremented in v0.4.7; here they
+        # meaningfully count unget-ring reuse vs fresh reads)
+        self._stats = os.environ.get('SAUGNS_TPU_SCANNER_STATS') == '1'
+        self.stat_hits = 0    # re-gets served from the unget ring
+        self.stat_misses = 0  # fresh character gets
 
     # -- opening ---------------------------------------------------------
 
@@ -102,6 +111,11 @@ class Scanner:
         return True
 
     def close(self):
+        if self._stats:
+            # sau_destroy_Scanner's stats print (sau/scanner.c:64-66)
+            print('hits: %d\nmisses: %d'
+                  % (self.stat_hits, self.stat_misses),
+                  file=sys.stderr)
         self.closed = True
 
     # -- raw byte access (sauFile level) ----------------------------------
@@ -258,6 +272,11 @@ class Scanner:
         """Get next filtered character; SCAN_EOF ('\\0') at end of file.
         Returns '\\0' for EOF like the C scanner returns 0."""
         reget = self._pop_reget()
+        if self._stats:
+            if reget is not None:
+                self.stat_hits += 1
+            else:
+                self.stat_misses += 1
         eof = False
         while True:
             start = self.pos

@@ -47,8 +47,18 @@ class Symitem:
 
 
 class Symtab:
+    """String interning + typed item stacks. The debug counter
+    (SAUGNS_TPU_SYMTAB_STATS=1 env; the reference's compile-time
+    SAU_SYMTAB_STATS toggle, sau/common.h:117-118, sau/symtab.c:26,
+    132, 153) counts item-stack probe steps that skip a non-matching
+    entry -- the analog of the reference's hash-chain collision count
+    -- and prints at destroy via ``print_stats``."""
+
     def __init__(self):
+        import os
         self._strs = {}
+        self._stats = os.environ.get('SAUGNS_TPU_SYMTAB_STATS') == '1'
+        self.collision_count = 0
 
     def get_symstr(self, key: str) -> Symstr:
         s = self._strs.get(key)
@@ -61,7 +71,16 @@ class Symtab:
         for item in reversed(sstr.items):
             if item.sym_type == sym_type:
                 return item
+            if self._stats:
+                self.collision_count += 1
         return None
+
+    def print_stats(self):
+        """fini_Symtab's stats line (sau/symtab.c:153-156)."""
+        if self._stats:
+            import sys
+            print('collision count: %d' % self.collision_count,
+                  file=sys.stderr)
 
     def add_item(self, sstr: Symstr, sym_type: int) -> Symitem:
         item = Symitem(sym_type, sstr)

@@ -67,6 +67,23 @@ def make_bank_script(n_voices: int, seed: int = 0,
     return '\n'.join(lines) + '\n'
 
 
+def make_selfmod_bank_script(n_voices: int, seed: int = 0,
+                             duration: float = 1.0) -> str:
+    """n-voice bank where every carrier uses phase SELF-modulation
+    ("feedback FM", wosc.h:273-310) with a per-voice strength --
+    the structure of examples/sounds/bass-sounds.sau, uniform across
+    voices so the bank path's template check admits it."""
+    rng = np.random.RandomState(seed)
+    lines = ['S a.m%.3f' % (1.0 / max(n_voices, 1))]
+    for v in range(n_voices):
+        freq = 55.0 * 2.0 ** (rng.randint(0, 24) / 12.0)
+        strength = rng.uniform(0.1, 0.6)
+        pan = rng.uniform(-1.0, 1.0)
+        lines.append('Wsin f%.2f t%.3f a1 c%.3f p.a%.3f'
+                     % (freq, duration, pan, strength))
+    return '\n'.join(lines) + '\n'
+
+
 class _EpochView:
     """Single-voice view of one epoch: the stage/instance slice of one
     voice with instance ids renumbered, presented with the attribute

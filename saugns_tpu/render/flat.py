@@ -44,11 +44,12 @@ import jax.numpy as jnp
 from ..lang import program as P
 from . import jdsp
 from .engine import (C_LEND, C_LFLAGS, C_LPOS, C_LTYPE, C_LV0, C_LVT,
-                     C_NN, C_NPREV, C_PHASE, C_RCPHI, C_RCPLO, C_TIME,
-                     C_TINF, C_WPPH, C_WPS, C_WRESET, apply_records,
-                     line_run_vec)
+                     C_NN, C_NPREV, C_PHASE, C_RCPHI, C_RCPLO, C_RFB,
+                     C_RPS, C_TIME, C_TINF, C_WFB, C_WPPH, C_WPS,
+                     C_WRESET, apply_records, line_run_vec)
 from .plan import (K_CONST1, K_LINE, K_MIX, K_NOISE, K_RANGEMOD,
-                   K_RCYCLE, K_RRUN, K_VMIX, K_WPHASE, K_WRUN, K_ZERO)
+                   K_RCYCLE, K_RRUN, K_RRUN_SELF, K_VMIX, K_WPHASE,
+                   K_WRUN, K_WRUN_SELF, K_ZERO)
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -257,7 +258,8 @@ class FlatSegment:
                 .reshape(len(self.noise_sis), nch, nc).astype(np.uint32)
         # stateful stages: per-chunk last in-range flat index + active
         self.state_sis = [si for si, st_ in enumerate(ep.stages)
-                          if st_.kind in (K_WRUN, K_NOISE)]
+                          if st_.kind in (K_WRUN, K_NOISE,
+                                          K_WRUN_SELF, K_RRUN_SELF)]
         li_tab = np.zeros((max(len(self.state_sis), 1), nch), np.int32)
         fi_tab = np.zeros((max(len(self.state_sis), 1), nch), np.int32)
         act_tab = np.zeros((max(len(self.state_sis), 1), nch), bool)
@@ -357,6 +359,10 @@ class FlatSegment:
                   if s.kind == K_RCYCLE]
         wr_sis = [si for si, s in enumerate(stages)
                   if s.kind == K_WRUN]
+        ws_sis = [si for si, s in enumerate(stages)
+                  if s.kind == K_WRUN_SELF]
+        rs_sis = [si for si, s in enumerate(stages)
+                  if s.kind == K_RRUN_SELF]
         no_sis = list(self.noise_sis)
 
         def init_fn(st, recs, dyn):
@@ -391,6 +397,19 @@ class FlatSegment:
                 carry0['pp%d' % si] = _u(st['si'][op, C_WPPH])
                 carry0['ps%d' % si] = st['sf'][op, C_WPS]
                 carry0['rst%d' % si] = st['si'][op, C_WRESET] != 0
+            for si in ws_sis:
+                # wosc self-PM: prev phase / prev sample / feedback
+                # memory / pending reset (wosc.h:273-310 state)
+                op = op_of(si)
+                carry0['pp%d' % si] = _u(st['si'][op, C_WPPH])
+                carry0['ps%d' % si] = st['sf'][op, C_WPS]
+                carry0['fb%d' % si] = st['sf'][op, C_WFB]
+                carry0['rst%d' % si] = st['si'][op, C_WRESET] != 0
+            for si in rs_sis:
+                # rasg self-PM: prev sample / feedback memory
+                op = op_of(si)
+                carry0['ps%d' % si] = st['sf'][op, C_RPS]
+                carry0['fb%d' % si] = st['sf'][op, C_RFB]
             for si in no_sis:
                 op = op_of(si)
                 carry0['nn%d' % si] = _u(st['si'][op, C_NN])
@@ -522,6 +541,17 @@ class FlatSegment:
                         self._wrun_stage(s, si, xs, carry, new_carry,
                                          vals, mask2, stage_len(s),
                                          state_pos, nc, B, SLENu)
+                    elif kind == K_WRUN_SELF:
+                        sval.pop(s.dst, None)
+                        self._wrun_self_stage(
+                            s, si, xs, carry, new_carry, vals, getb,
+                            mask2, stage_len(s), state_pos, nc, B,
+                            SLENu)
+                    elif kind == K_RRUN_SELF:
+                        sval.pop(s.dst, None)
+                        self._rrun_self_stage(
+                            s, si, xs, carry, new_carry, vals, getb,
+                            mask2, stage_len(s), state_pos, nc, B)
                     elif kind == K_RCYCLE:
                         r2x = s.ras[5]
                         coeff_e = np.float32(coeff * 2) if r2x \
@@ -623,6 +653,19 @@ class FlatSegment:
                               _i(carry_end['pp%d' % si]), act)
                 sf = seti(sf, op, C_WPS, carry_end['ps%d' % si], act)
                 si_arr = seti(si_arr, op, C_WRESET, 0, act)
+            for si in ws_sis:
+                act = dyn['sact'][si]
+                op = op_of(si)
+                si_arr = seti(si_arr, op, C_WPPH,
+                              _i(carry_end['pp%d' % si]), act)
+                sf = seti(sf, op, C_WPS, carry_end['ps%d' % si], act)
+                sf = seti(sf, op, C_WFB, carry_end['fb%d' % si], act)
+                si_arr = seti(si_arr, op, C_WRESET, 0, act)
+            for si in rs_sis:
+                act = dyn['sact'][si]
+                op = op_of(si)
+                sf = seti(sf, op, C_RPS, carry_end['ps%d' % si], act)
+                sf = seti(sf, op, C_RFB, carry_end['fb%d' % si], act)
             for si in no_sis:
                 act = dyn['sact'][si]
                 op = op_of(si)
@@ -770,6 +813,61 @@ class FlatSegment:
                                            carry['ps%d' % si])
         new_carry['rst%d' % si] = carry['rst%d' % si] & ~has_act
         vals[s.dst] = out.reshape(nc, B)
+
+    def _wrun_self_stage(self, s, si, xs, carry, new_carry, vals,
+                         getb, mask2, slen, state_pos, nc, B, SLENu):
+        """wosc self-PM (wosc.h:273-310) as one masked sequential pass
+        over the chunk's flattened sample stream: the feedback
+        recurrence is the one true per-sample chain, so it runs in the
+        Pallas scalar-loop kernel (lax.scan off-TPU) while every other
+        stage of the chunk stays parallel. Inactive samples (block
+        masks) are skipped without advancing state -- exactly the
+        sequential engine's block gating."""
+        wave = s.wave
+        phase2 = getb(s.a)                              # (nc, B) u32
+        am2 = getb(s.b)                                 # (nc, B) f32
+        k = state_pos[si]
+        has_act = xs['act'][k]
+        first_ir = xs['first_ir'][k]
+        mask_flat = mask2.reshape(nc * B)
+        ph_flat = phase2.reshape(nc * B)
+        am_flat = am2.reshape(nc * B)
+        pp_in = carry['pp%d' % si]
+        # an unconsumed reset pairs the FIRST ACTIVE sample with its
+        # own raw phase minus SLEN (wosc.h:215-231; the engine's
+        # per-block reset consumes at the first length>0 block)
+        do_rst = carry['rst%d' % si] & has_act
+        rst_prev = ph_flat[first_ir] - SLENu
+        pp0 = jnp.where(do_rst, rst_prev, pp_in)
+        pilut = jdsp.get_tables()[1][wave]
+        out, pp, ps, fb = jdsp.wosc_selfmod_masked(
+            pilut, wave, ph_flat, am_flat, mask_flat, pp0,
+            carry['ps%d' % si], carry['fb%d' % si])
+        vals[s.dst] = out.reshape(nc, B)
+        new_carry['pp%d' % si] = pp
+        new_carry['ps%d' % si] = ps
+        new_carry['fb%d' % si] = fb
+        new_carry['rst%d' % si] = carry['rst%d' % si] & ~has_act
+
+    def _rrun_self_stage(self, s, si, xs, carry, new_carry, vals,
+                         getb, mask2, slen, state_pos, nc, B):
+        """RasG self-PM (rasg.h:242-294,764-772): masked sequential
+        pass over the flattened chunk stream (Pallas scalar kernel on
+        TPU, lax.scan off-TPU); inputs are the K_RCYCLE stage's cycle
+        (dst) and phase (dst+1) fills plus the self-PM amp buffer."""
+        rline, func, level, alpha, oflags, _r2x = s.ras
+        phase2 = getb(s.dst)                            # (nc, B) f32
+        cycle2 = getb(s.a)                              # (nc, B) u32
+        am2 = getb(s.b)
+        mask_flat = mask2.reshape(nc * B)
+        out, ps, fb = jdsp.rasg_selfmod_masked(
+            func, rline, level, alpha, oflags,
+            phase2.reshape(nc * B), cycle2.reshape(nc * B),
+            am2.reshape(nc * B), mask_flat,
+            carry['ps%d' % si], carry['fb%d' % si])
+        vals[s.dst] = out.reshape(nc, B)
+        new_carry['ps%d' % si] = ps
+        new_carry['fb%d' % si] = fb
 
     def _noise_stage(self, s, si, xs, carry, new_carry, vals, mask2,
                      noise_pos, state_pos, nc, B, idx_b):

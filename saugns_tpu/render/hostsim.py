@@ -338,9 +338,15 @@ class HostSim:
         hard = ''
         if self.tainted:
             hard = 'sim tainted by earlier ratio-flip conversion'
-        for s in ep.stages:
-            if s.kind in (K_WRUN_SELF, K_RRUN_SELF):
-                hard = 'self-PM feedback stage'
+        # self-PM epochs ARE flat-eligible since the masked selfmod
+        # pass (flat._wrun_self_stage/_rrun_self_stage carries the
+        # feedback state like phases); SAUGNS_TPU_FLAT_SELFMOD=0
+        # restores the sequential-engine routing
+        import os
+        if os.environ.get('SAUGNS_TPU_FLAT_SELFMOD', '1') != '1':
+            for s in ep.stages:
+                if s.kind in (K_WRUN_SELF, K_RRUN_SELF):
+                    hard = 'self-PM feedback stage'
         bake = EpochBake(eligible=False, reason=hard)
         el = not hard
         starts = self._seg_starts(ep)

@@ -968,8 +968,8 @@ def _rint_s(t):
 def _selfmod_kernel_factory(TILE, dvs, dvo):
     from jax.experimental import pallas as pl
 
-    def kernel(ph_ref, am_ref, si_ref, sf_ref, tab_ref, out_ref,
-               opp_ref, ofs_ref, sc_i_ref, sc_f_ref):
+    def kernel(ph_ref, am_ref, act_ref, si_ref, sf_ref, tab_ref,
+               out_ref, opp_ref, ofs_ref, sc_i_ref, sc_f_ref):
         gi = pl.program_id(0)
         first = gi == 0
         pp0 = jnp.where(first, si_ref[0], sc_i_ref[0])
@@ -977,8 +977,6 @@ def _selfmod_kernel_factory(TILE, dvs, dvo):
         fb0 = jnp.where(first, sf_ref[1], sc_f_ref[1])
         ih0 = jnp.where(first, sf_ref[2], sc_f_ref[2])
         il0 = jnp.where(first, sf_ref[3], sc_f_ref[3])
-        length = si_ref[1]
-        base = gi * np.int32(TILE)
 
         def body(i, carry):
             pp, ps, fb, ih, il = carry
@@ -1012,7 +1010,7 @@ def _selfmod_kernel_factory(TILE, dvs, dvo):
             mh, ml = _df_mul_f(dh, dl, xf)
             sh, sl = _df_add(mh, ml, np.float32(dvo), np.float32(0.0))
             s = jnp.where(valid, sh + sl, ps)
-            active = (base + i) < length
+            active = act_ref[i] != np.int32(0)
             av = active & valid
             out_ref[i] = jnp.where(active, s, np.float32(0.0))
             return (jnp.where(av, phase, pp), jnp.where(av, s, ps),
@@ -1036,11 +1034,14 @@ def _selfmod_kernel_factory(TILE, dvs, dvo):
 
 
 def _wosc_selfmod_pallas(wave, phase_buf, abuf, pp0, prev_s, fb_s,
-                         h0, l0, length, interpret=False):
+                         h0, l0, length, active=None,
+                         interpret=False):
     """Run the self-PM recurrence for one block in one Pallas launch.
     phase_buf: (B,) u32 base phases (incl. external PM), abuf: (B,)
     f32 amp; scalars pp0 (u32), prev_s, fb_s, h0/l0 (Is(pp0) df64
-    pair). Returns (out, pp, ps, fb) like the lax.scan path."""
+    pair). ``active``: optional (B,) bool per-sample gate (the flat
+    path's block masks); default = the first ``length`` samples.
+    Returns (out, pp, ps, fb) like the lax.scan path."""
     from jax.experimental import pallas as pl_
     from jax.experimental.pallas import tpu as pltpu
     B = phase_buf.shape[0]
@@ -1048,12 +1049,17 @@ def _wosc_selfmod_pallas(wave, phase_buf, abuf, pp0, prev_s, fb_s,
     pad = (-B) % TILE
     ph = jax.lax.bitcast_convert_type(phase_buf, i32)
     am = abuf
+    if active is None:
+        act = (jnp.arange(B, dtype=i32)
+               < jnp.asarray(length, i32)).astype(i32)
+    else:
+        act = active.astype(i32)
     if pad:
         ph = jnp.concatenate([ph, jnp.zeros(pad, i32)])
         am = jnp.concatenate([am, jnp.zeros(pad, f32)])
+        act = jnp.concatenate([act, jnp.zeros(pad, i32)])
     n_tiles = (B + pad) // TILE
-    si = jnp.stack([asi32(jnp.asarray(pp0, u32)),
-                    jnp.asarray(length, i32)])
+    si = jnp.stack([asi32(jnp.asarray(pp0, u32))])
     sf = jnp.stack([jnp.asarray(prev_s, f32), jnp.asarray(fb_s, f32),
                     jnp.asarray(h0, f32), jnp.asarray(l0, f32)])
     _, piluts = W.get_tables()
@@ -1065,23 +1071,20 @@ def _wosc_selfmod_pallas(wave, phase_buf, abuf, pp0, prev_s, fb_s,
         return pl_.BlockSpec((n,), lambda i: (np.int32(0),),
                              memory_space=pltpu.SMEM)
 
+    tile_spec = pl_.BlockSpec((TILE,), lambda i: (i,),
+                              memory_space=pltpu.SMEM)
     out, opp, ofs = pl_.pallas_call(
         _selfmod_kernel_factory(TILE, dvs, dvo),
         grid=(n_tiles,),
-        in_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.SMEM),
-                  pl_.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.SMEM),
-                  smem(2), smem(4), smem(2048)],
-        out_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
-                                 memory_space=pltpu.SMEM),
-                   smem(1), smem(2)],
+        in_specs=[tile_spec, tile_spec, tile_spec,
+                  smem(1), smem(4), smem(2048)],
+        out_specs=[tile_spec, smem(1), smem(2)],
         out_shape=[jax.ShapeDtypeStruct((B + pad,), f32),
                    jax.ShapeDtypeStruct((1,), i32),
                    jax.ShapeDtypeStruct((2,), f32)],
         scratch_shapes=[pltpu.SMEM((1,), i32), pltpu.SMEM((4,), f32)],
         interpret=interpret,
-    )(ph, am, si, jnp.asarray(sf), jnp.asarray(tab))
+    )(ph, am, act, si, jnp.asarray(sf), jnp.asarray(tab))
     return out[:B], asu32(opp[0]), ofs[0], ofs[1]
 
 
@@ -1258,6 +1261,98 @@ def rasg_shape(line, oflags, phase, a, b):
     return line_val(line, phase, a2, b2)
 
 
+def wosc_selfmod_masked(pilut, wave, ph, am, active, pp0, prev_s,
+                        fb_s):
+    """Self-PM over a flattened masked sample stream: like
+    wosc_selfmod_scan but gated by the per-sample ``active`` vector
+    (the flat path's block masks -- inactive samples output 0 and do
+    not advance state). Reset pairing is resolved by the CALLER into
+    ``pp0`` (first-active-sample raw phase minus SLEN, mirroring
+    wosc.h:215-231 at the flat path's first_ir). Returns
+    (out, pp, ps, fb)."""
+    fb_scale = P31
+    if use_fused_osc():
+        dvs = np.float32(W.dvscale(wave))
+        dvo = np.float32(W.dvoffset(wave))
+        if ph.ndim == 1 and selfmod_kernel_available():
+            h0, l0 = _Is_df64(wave, pp0)
+            return _wosc_selfmod_pallas(wave, ph, am, pp0, prev_s,
+                                        fb_s, h0, l0, None,
+                                        active=active)
+        h0, l0 = _Is_df64(wave, pp0)
+
+        def step_df(carry, xs):
+            pp, ps, fb, ih, il = carry
+            phv, amv, act = xs
+            adj = ftoi(fb * amv * fb_scale)
+            phase = (phv.astype(jnp.int64) + adj).astype(u32)
+            h2, l2 = _Is_df64(wave, phase)
+            pd = asi32(phase - pp)
+            valid = pd != 0
+            pdf = jnp.where(valid, pd, 1).astype(f32)
+            xf = dvs / pdf
+            dh, dl = _df_add(h2, l2, -ih, -il)
+            mh, ml = _df_mul_f(dh, dl, xf)
+            sh, sl = _df_add(mh, ml, dvo, np.float32(0.0))
+            s = jnp.where(valid, sh + sl, ps)
+            av = act & valid
+            return (jnp.where(av, phase, pp), jnp.where(act, s, ps),
+                    jnp.where(act, (fb + s) * np.float32(0.5), fb),
+                    jnp.where(av, h2, ih), jnp.where(av, l2, il)), \
+                jnp.where(act, s, np.float32(0))
+
+        (pp, ps, fb, _h, _l), out = jax.lax.scan(
+            step_df, (pp0, prev_s, fb_s, h0, l0), (ph, am, active))
+        return out, pp, ps, fb
+
+    def step(carry, xs):
+        pp, ps, fb = carry
+        phv, amv, act = xs
+        adj = ftoi(fb * amv * fb_scale)
+        phase = (phv.astype(jnp.int64) + adj).astype(u32)
+        s, valid = wosc_diff(pilut, wave, pp, phase)
+        s = jnp.where(valid, s, ps)
+        av = act & valid
+        return (jnp.where(av, phase, pp), jnp.where(act, s, ps),
+                jnp.where(act, (fb + s) * np.float32(0.5), fb)), \
+            jnp.where(act, s, np.float32(0))
+
+    (pp, ps, fb), out = jax.lax.scan(
+        step, (pp0, prev_s, fb_s), (ph, am, active))
+    return out, pp, ps, fb
+
+
+def rasg_selfmod_masked(func, line, level, alpha, oflags, phase_buf,
+                        cycle_buf, abuf, active, prev_s, fb_s):
+    """RasG self-PM over a flattened masked sample stream (the flat
+    path's block masks). Returns (out, ps, fb)."""
+    if (phase_buf.ndim == 1 and selfmod_kernel_available()
+            and isinstance(func, int) and isinstance(oflags, int)):
+        return _rasg_selfmod_pallas(func, line, level, alpha, oflags,
+                                    phase_buf, cycle_buf, abuf,
+                                    prev_s, fb_s, None, active=active)
+
+    def step(carry, xs):
+        ps, fb = carry
+        phase0, cyc0, amv, act = xs
+        pm_a = fb * amv * np.float32(0.5)
+        phase = phase0 + pm_a
+        cycle_adj = jnp.floor(phase).astype(i32)
+        cycle = (cyc0.astype(i32) + cycle_adj).astype(u32)
+        phase = phase - cycle_adj.astype(f32)
+        cv = jnp.reshape(cycle, (1,))
+        a, b = rasg_map(func, level, alpha, oflags, cv)
+        s = rasg_shape(line, oflags,
+                       jnp.reshape(phase, (1,)), a, b)[0]
+        fb_n = jnp.where(act, (fb + s + ps) * np.float32(0.5), fb)
+        ps_n = jnp.where(act, s, ps)
+        return (ps_n, fb_n), jnp.where(act, s, np.float32(0))
+
+    (ps, fb), out = jax.lax.scan(
+        step, (prev_s, fb_s), (phase_buf, cycle_buf, abuf, active))
+    return out, ps, fb
+
+
 _rasg_sm_kernels = {}
 
 
@@ -1273,14 +1368,12 @@ def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
     evaluates -- same ops, same order, bit-identical."""
     from jax.experimental import pallas as pl
 
-    def kernel(ph_ref, cy_ref, am_ref, si_ref, sf_ref, out_ref,
+    def kernel(ph_ref, cy_ref, am_ref, act_ref, sf_ref, out_ref,
                ofs_ref, sc_f_ref):
         gi = pl.program_id(0)
         first = gi == 0
         ps0 = jnp.where(first, sf_ref[0], sc_f_ref[0])
         fb0 = jnp.where(first, sf_ref[1], sc_f_ref[1])
-        length = si_ref[0]
-        base = gi * np.int32(TILE)
 
         def body(i, carry):
             ps, fb = carry
@@ -1294,7 +1387,7 @@ def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
             phase = phase - cycle_adj.astype(f32)
             a, b = rasg_map(func, level, alpha, oflags, cycle)
             s = rasg_shape(line, oflags, phase, a, b)
-            active = (base + i) < length
+            active = act_ref[i] != np.int32(0)
             out_ref[i] = jnp.where(active, s, np.float32(0.0))
             return (jnp.where(active, s, ps),
                     jnp.where(active, (fb + s + ps) * np.float32(0.5),
@@ -1311,9 +1404,10 @@ def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
 
 def _rasg_selfmod_pallas(func, line, level, alpha, oflags, phase_buf,
                          cycle_buf, abuf, prev_s, fb_s, length,
-                         interpret=False):
+                         active=None, interpret=False):
     """One-launch RasG self-PM block; same returns as the scan path
-    (out, ps, fb)."""
+    (out, ps, fb). ``active``: optional per-sample gate vector
+    (default = the first ``length`` samples)."""
     from jax.experimental import pallas as pl_
     from jax.experimental.pallas import tpu as pltpu
     B = phase_buf.shape[0]
@@ -1322,12 +1416,17 @@ def _rasg_selfmod_pallas(func, line, level, alpha, oflags, phase_buf,
     ph = phase_buf
     cy = jax.lax.bitcast_convert_type(cycle_buf, i32)
     am = abuf
+    if active is None:
+        act = (jnp.arange(B, dtype=i32)
+               < jnp.asarray(length, i32)).astype(i32)
+    else:
+        act = active.astype(i32)
     if pad:
         ph = jnp.concatenate([ph, jnp.zeros(pad, f32)])
         cy = jnp.concatenate([cy, jnp.zeros(pad, i32)])
         am = jnp.concatenate([am, jnp.zeros(pad, f32)])
+        act = jnp.concatenate([act, jnp.zeros(pad, i32)])
     n_tiles = (B + pad) // TILE
-    si = jnp.stack([jnp.asarray(length, i32)])
     sf = jnp.stack([jnp.asarray(prev_s, f32), jnp.asarray(fb_s, f32)])
 
     def smem(n):
@@ -1341,24 +1440,19 @@ def _rasg_selfmod_pallas(func, line, level, alpha, oflags, phase_buf,
         kern = _rasg_selfmod_kernel_factory(TILE, func, line, level,
                                             alpha, oflags)
         _rasg_sm_kernels[key] = kern
+    tile_spec = pl_.BlockSpec((TILE,), lambda i: (i,),
+                              memory_space=pltpu.SMEM)
     out, ofs = pl_.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.SMEM),
-                  pl_.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.SMEM),
-                  pl_.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.SMEM),
-                  smem(1), smem(2)],
-        out_specs=[pl_.BlockSpec((TILE,), lambda i: (i,),
-                                 memory_space=pltpu.SMEM),
-                   smem(2)],
+        in_specs=[tile_spec, tile_spec, tile_spec, tile_spec,
+                  smem(2)],
+        out_specs=[tile_spec, smem(2)],
         out_shape=[jax.ShapeDtypeStruct((B + pad,), f32),
                    jax.ShapeDtypeStruct((2,), f32)],
         scratch_shapes=[pltpu.SMEM((2,), f32)],
         interpret=interpret,
-    )(ph, cy, am, si, sf)
+    )(ph, cy, am, act, sf)
     return out[:B], ofs[0], ofs[1]
 
 

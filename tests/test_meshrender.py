@@ -88,10 +88,28 @@ def test_corpus_multivoice_mesh_bit_identical():
     assert np.array_equal(mix, ref)
 
 
-def test_selfmod_program_rejected():
-    prg = _build("Wsin f100 t0.2 p.a.5")
-    with pytest.raises(ValueError):
-        MeshRender(prg, SRATE)
+def test_selfmod_program_accepted_bit_identical():
+    """Self-PM voices are flat-eligible since round 5 (the masked
+    selfmod pass, flat._wrun_self_stage): the mesh renderer accepts
+    them and stays bit-identical to the host oracle. With
+    SAUGNS_TPU_FLAT_SELFMOD=0 the old sequential routing (rejection
+    here) still applies."""
+    hsrc = ("Wsin f440 t0.3 a.4 p.a.4\n"
+            "Nwh a0.2 t0.25\n"
+            "Rlin f200 t0.2 a.3 p.a.3\n")
+    prg = _build(hsrc)
+    mr = MeshRender(prg, SRATE)
+    mix = np.asarray(mr.render_i16())
+    ref = _cpu_ref(prg, SRATE)
+    assert mix.shape == ref.shape
+    np.testing.assert_array_equal(mix, ref)
+    import os
+    os.environ['SAUGNS_TPU_FLAT_SELFMOD'] = '0'
+    try:
+        with pytest.raises(ValueError):
+            MeshRender(_build(hsrc), SRATE)
+    finally:
+        del os.environ['SAUGNS_TPU_FLAT_SELFMOD']
 
 
 def test_player_selects_mesh_generator():

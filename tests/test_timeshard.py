@@ -71,14 +71,27 @@ def test_timeshard_corpus_script_bit_identical(reference_dir):
     np.testing.assert_array_equal(mix, ref)
 
 
-def test_timeshard_rejects_selfmod():
-    # self-PM epochs are not flat-eligible; the renderer must refuse
-    # (callers fall back to the streaming engine)
-    prg = build_program(ScriptArg(str='Wsin f100 t.3 p.a.5',
+def test_timeshard_selfmod_accepted_bit_identical():
+    # self-PM epochs are flat-eligible since round 5 (masked selfmod
+    # pass); the time-sharded render stays bit-identical, and the
+    # SAUGNS_TPU_FLAT_SELFMOD=0 escape hatch restores rejection
+    import os
+    prg = build_program(ScriptArg(str='Wsin f100 t.5 p.a.5',
                                   is_path=False, no_time=True,
                                   predef=[]))
-    with pytest.raises(ValueError):
-        TimeShardRender(prg, SRATE, _mesh('sp'))
+    ts = TimeShardRender(prg, SRATE, _mesh('sp'))
+    mix = ts.render_host()
+    ref = _cpu_ref(prg)
+    np.testing.assert_array_equal(mix, ref)
+    os.environ['SAUGNS_TPU_FLAT_SELFMOD'] = '0'
+    try:
+        prg2 = build_program(ScriptArg(str='Wsin f100 t.5 p.a.5',
+                                       is_path=False, no_time=True,
+                                       predef=[]))
+        with pytest.raises(ValueError):
+            TimeShardRender(prg2, SRATE, _mesh('sp'))
+    finally:
+        del os.environ['SAUGNS_TPU_FLAT_SELFMOD']
 
 
 @pytest.mark.parametrize('n_voices', [13, 16])

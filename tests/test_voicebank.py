@@ -117,3 +117,43 @@ def test_bank_128_voices_unordered_snr_gate():
         return
     snr = 10 * np.log10(p / e)
     assert snr >= 90.0, '%.1f dB' % snr
+
+
+def test_selfmod_bank_bit_identical_to_engine():
+    """Self-PM voices take the bank path (the flat masked selfmod
+    pass, flat._wrun_self_stage) bit-identically -- the reference's
+    feedback-FM structure (bass-sounds.sau) at bank scale."""
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.parallel.voicebank import (
+        BankRender, make_selfmod_bank_script)
+    src = make_selfmod_bank_script(8, seed=2, duration=0.5)
+    prg = build_program(ScriptArg(str=src, is_path=False,
+                                  no_time=True, predef=[]))
+    assert prg.vo_count == 8
+    bank = BankRender(prg, 6000, mesh=None, ordered_mix=True)
+    mix = np.asarray(bank.render_i16()).reshape(-1, 2)
+    ref = _engine_render(prg, 6000).reshape(-1, 2)
+    np.testing.assert_array_equal(mix, ref)
+
+
+def test_selfmod_bank_128_voices_mesh_ring():
+    """128 self-PM voices sharded over the 8-device mesh with the
+    ring-ordered mix: bit-identical to the single-device engine."""
+    import jax
+    from jax.sharding import Mesh
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.parallel.voicebank import (
+        BankRender, make_selfmod_bank_script)
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip('needs 8 virtual devices')
+    src = make_selfmod_bank_script(128, seed=2, duration=0.5)
+    prg = build_program(ScriptArg(str=src, is_path=False,
+                                  no_time=True, predef=[]))
+    assert prg.vo_count == 128
+    mesh = Mesh(np.asarray(devs[:8]), ('voices',))
+    bank = BankRender(prg, 6000, mesh=mesh, ordered_mix=True,
+                      mesh_mix='ring')
+    mix = np.asarray(bank.render_i16()).reshape(-1, 2)
+    ref = _engine_render(prg, 6000).reshape(-1, 2)
+    np.testing.assert_array_equal(mix, ref)
