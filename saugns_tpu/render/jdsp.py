@@ -43,10 +43,21 @@ P31 = np.float32(2.0 ** 31)
 P32F = np.float32(2.0 ** 32)
 
 
+# True while tracing the body of a Pallas scalar-loop kernel: the
+# scalar core has a real 32-bit integer multiplier (the float-limb
+# trick below exists for the VPU, where variable x variable int mul
+# is ~60x slower than float mul), and Mosaic cannot lower the trick's
+# u32->f32 casts in scalar context anyway. Both forms are exact
+# mod 2^32, so the results are bit-identical.
+_SCALAR_KERNEL_CTX = False
+
+
 def umul32(a, b):
     """Exact u32 * u32 (mod 2^32) via three 11-bit limbs multiplied in
     float32 -- variable x variable 32-bit integer multiply is ~60x
     slower than float multiply on the TPU VPU."""
+    if _SCALAR_KERNEL_CTX:
+        return a * b
     m11 = np.uint32(0x7ff)
     a0 = (a & m11).astype(f32)
     a1 = ((a >> np.uint32(11)) & m11).astype(f32)
@@ -81,10 +92,17 @@ def sar32(x, s):
 
 
 def asi32(x_u32):
+    # scalar-kernel context: Mosaic rejects the no-op scalar
+    # tpu.bitcast; a same-width astype wraps mod 2^32 (two's
+    # complement reinterpret), which is exactly the bitcast's values
+    if _SCALAR_KERNEL_CTX:
+        return x_u32.astype(i32)
     return jax.lax.bitcast_convert_type(x_u32, i32)
 
 
 def asu32(x_i32):
+    if _SCALAR_KERNEL_CTX:
+        return x_i32.astype(u32)
     return jax.lax.bitcast_convert_type(x_i32, u32)
 
 
@@ -1326,8 +1344,12 @@ def rasg_selfmod_masked(func, line, level, alpha, oflags, phase_buf,
                         cycle_buf, abuf, active, prev_s, fb_s):
     """RasG self-PM over a flattened masked sample stream (the flat
     path's block masks). Returns (out, ps, fb)."""
+    # noise lines (ncl/nhl/uwh, >= 10) reinterpret float bits as a
+    # PRNG seed -- Mosaic has no scalar f32<->i32 bitcast, so those
+    # combos stay on the lax.scan path
     if (phase_buf.ndim == 1 and selfmod_kernel_available()
-            and isinstance(func, int) and isinstance(oflags, int)):
+            and isinstance(func, int) and isinstance(oflags, int)
+            and isinstance(line, int) and line < 10):
         return _rasg_selfmod_pallas(func, line, level, alpha, oflags,
                                     phase_buf, cycle_buf, abuf,
                                     prev_s, fb_s, None, active=active)
@@ -1370,6 +1392,8 @@ def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
 
     def kernel(ph_ref, cy_ref, am_ref, act_ref, sf_ref, out_ref,
                ofs_ref, sc_f_ref):
+        global _SCALAR_KERNEL_CTX
+        _SCALAR_KERNEL_CTX = True  # traced once; reset at the end
         gi = pl.program_id(0)
         first = gi == 0
         ps0 = jnp.where(first, sf_ref[0], sc_f_ref[0])
@@ -1393,8 +1417,11 @@ def _rasg_selfmod_kernel_factory(TILE, func, line, level, alpha,
                     jnp.where(active, (fb + s + ps) * np.float32(0.5),
                               fb))
 
-        ps, fb = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(TILE), body, (ps0, fb0))
+        try:
+            ps, fb = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(TILE), body, (ps0, fb0))
+        finally:
+            _SCALAR_KERNEL_CTX = False
         sc_f_ref[0] = ps
         sc_f_ref[1] = fb
         ofs_ref[0] = ps
@@ -1459,8 +1486,12 @@ def _rasg_selfmod_pallas(func, line, level, alpha, oflags, phase_buf,
 def rasg_selfmod_scan(func, line, level, alpha, oflags, phase_buf,
                       cycle_buf, abuf, prev_s, fb_s, length):
     """sauRasG_run_selfmod (rasg.h:242-294, 764-772) as a scan."""
+    # noise lines (ncl/nhl/uwh, >= 10) reinterpret float bits as a
+    # PRNG seed -- Mosaic has no scalar f32<->i32 bitcast, so those
+    # combos stay on the lax.scan path
     if (phase_buf.ndim == 1 and selfmod_kernel_available()
-            and isinstance(func, int) and isinstance(oflags, int)):
+            and isinstance(func, int) and isinstance(oflags, int)
+            and isinstance(line, int) and line < 10):
         return _rasg_selfmod_pallas(func, line, level, alpha, oflags,
                                     phase_buf, cycle_buf, abuf,
                                     prev_s, fb_s, length)
