@@ -82,6 +82,8 @@ def _ensure_compile_cache():
         if os.path.isdir(pack):
             import shutil
             for fn in os.listdir(pack):
+                if fn == 'MANIFEST.json':  # provenance, not a cache entry
+                    continue
                 dst = os.path.join(cache_dir, fn)
                 if not os.path.exists(dst):
                     try:

@@ -39,6 +39,38 @@ def pack_dir(backend):
     return os.path.join(REPO, 'saugns_tpu', 'aot', backend)
 
 
+def _write_manifest(dst, n_entries):
+    """MANIFEST.json beside the pack: which rig built it and what the
+    warm run covered. XLA cache keys hash rig-specific components
+    (backend_version, accelerator_config -- see docs/CACHEKEY.jsonl),
+    so the shipped pack is RIG-PINNED: on any other rig the entries
+    simply miss and compilation proceeds cold. The manifest makes that
+    provenance checkable instead of implicit."""
+    import json
+    import platform as _plat
+    import datetime
+    info = {
+        'ts': datetime.datetime.now().isoformat(timespec='seconds'),
+        'entries': n_entries,
+        'host': _plat.node(),
+        'covers': 'whatever executables the preceding warm run '
+                  'compiled -- the documented workflow is a full '
+                  'bench.py run (headline corpus + self-check + poly '
+                  '+ corpus_full), see module docstring',
+        'rig_pinned': True,
+    }
+    try:
+        import jax
+        d = jax.devices()[0]
+        info['platform_version'] = getattr(
+            d.client, 'platform_version', '?')
+        info['device'] = str(d)
+    except Exception as e:  # manifest must not block snapshotting
+        info['platform_version'] = 'unavailable: %s' % e
+    with open(os.path.join(dst, 'MANIFEST.json'), 'w') as f:
+        json.dump(info, f, indent=1)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith('--')]
     backend = args[0] if args else 'tpu'
@@ -60,6 +92,7 @@ def main():
             shutil.copyfile(p, os.path.join(dst, fn))
             n += 1
             total += os.path.getsize(p)
+        _write_manifest(dst, n)
         print('snapshot: %d entries, %.1f MiB -> %s'
               % (n, total / 2**20, dst))
         return 0
