@@ -37,7 +37,7 @@ TRACE_ENVS = ('SAUGNS_TPU_FLAT', 'SAUGNS_TPU_FUSED',
               'SAUGNS_TPU_GROUP_SEGS', 'SAUGNS_TPU_LEVELBATCH',
               'SAUGNS_TPU_MXU_SCAN', 'SAUGNS_TPU_PALLAS_SCAN',
               'SAUGNS_TPU_TAPKERNEL', 'SAUGNS_TPU_FFILL_FAST',
-              'SAUGNS_TPU_DEBUG_BUFS')
+              'SAUGNS_TPU_DEBUG_BUFS', 'SAUGNS_TPU_TAPS4')
 
 _code_hash_cache = None
 

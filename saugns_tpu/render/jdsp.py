@@ -1731,6 +1731,27 @@ def _build_window_tabs():
     return _win_tabs
 
 
+_win_tabs4 = None
+
+
+def _build_window_tabs4():
+    """(12, 16, 128) f32 mod-4 interleaved window tables: row j*4+h
+    holds class-j entries (pilut indices === j mod 4) for lane window
+    h, i.e. tabs4[w, j*4+h, l] = pilut[w, 4*(128*h + l) + j]. Same
+    exact f32 values, re-laid so _window_taps4_body needs one lane
+    gather per (class, window) -- 16 instead of 64."""
+    global _win_tabs4
+    if _win_tabs4 is not None:
+        return _win_tabs4
+    _, piluts = W.get_tables()
+    pil = np.asarray(piluts, np.float32)           # (12, 2048)
+    # (12, 512, 4) -> classes minor; transpose to (12, 4, 512)
+    byclass = pil.reshape(12, 512, 4).transpose(0, 2, 1)
+    _win_tabs4 = np.ascontiguousarray(
+        byclass.reshape(12, 4, 4, 128).reshape(12, 16, 128))
+    return _win_tabs4
+
+
 def _lane_gather(x, idx):
     """out[r, l] = x[r, idx[r, l]] -- the 2D lane-dim dynamic gather
     Mosaic lowers to ``tpu.dynamic_gather``. Built directly on
@@ -1746,8 +1767,11 @@ def _lane_gather(x, idx):
 
 
 def _window_taps_body(tab_ref, cell, R, taps_needed=4):
-    """Shared kernel body: 4 Hermite taps (cells cell-1..cell+2) via
-    16-window lane gathers; cell: (R, 128) i32 in [0, 2048)."""
+    """Kernel body, plain layout: 4 Hermite taps (cells cell-1..
+    cell+2) via 16-window lane gathers; cell: (R, 128) i32 in
+    [0, 2048). 64 gathers + 64 selects -- kept for the
+    SAUGNS_TPU_TAPS4=0 fallback and microbenches; production uses
+    the mod-4 interleaved body below (4x fewer gathers)."""
     taps = []
     for t in range(taps_needed):
         c = (cell + np.int32(t - 1)) & np.int32(2047)
@@ -1760,6 +1784,71 @@ def _window_taps_body(tab_ref, cell, R, taps_needed=4):
             acc = jnp.where(hi == np.int32(w), g, acc)
         taps.append(acc)
     return taps
+
+
+def _use_taps4():
+    """Mod-4 interleaved tap tables (default). Trace-time knob; set
+    SAUGNS_TPU_TAPS4=0 before first engine use to restore the plain
+    16-window layout."""
+    return os.environ.get('SAUGNS_TPU_TAPS4', '1') == '1'
+
+
+def _window_taps4_body(tab4_ref, cell, R):
+    """Kernel body, mod-4 interleaved layout: the 4 Hermite taps are
+    4 CONSECUTIVE pilut entries m..m+3 (m = cell-1 mod 2048), so they
+    hit each residue class mod 4 exactly once. With the table split
+    into 4 class-tables T_j[k] = pilut[4k+j] (512 entries = 4 lane
+    windows each), each class needs ONE gather per window: 16 lane
+    gathers total instead of 64 (the gather loop was ~90% of the
+    fused kernel's compute, tools/bench_kernel_split.py). The class
+    holding tap t is (r+t) mod 4 where r = m mod 4; its quotient is
+    base + (j < r), wrapping mod 512 exactly as the flat index wraps
+    mod 2048. Fetched values are the same f32 table entries in the
+    same positions -- bit-identical taps."""
+    m = (cell + np.int32(2047)) & np.int32(2047)
+    r = m & np.int32(3)
+    base = m >> np.int32(2)                       # [0, 512)
+    g = []
+    for j in range(4):
+        q = base + jnp.where(r > np.int32(j), np.int32(1),
+                             np.int32(0))
+        q = q & np.int32(511)
+        hi = q >> np.int32(7)
+        lo = q & np.int32(127)
+        acc = jnp.zeros((R, 128), f32)
+        for h in range(4):
+            tw = jnp.broadcast_to(tab4_ref[j * 4 + h, :][None, :],
+                                  (R, 128))
+            gg = _lane_gather(tw, lo)
+            acc = jnp.where(hi == np.int32(h), gg, acc)
+        g.append(acc)
+    # tap_t = g[(r + t) & 3]
+    m1 = r == np.int32(1)
+    m2 = r == np.int32(2)
+    m3 = r == np.int32(3)
+    taps = []
+    for t in range(4):
+        v = g[t & 3]
+        v = jnp.where(m1, g[(t + 1) & 3], v)
+        v = jnp.where(m2, g[(t + 2) & 3], v)
+        v = jnp.where(m3, g[(t + 3) & 3], v)
+        taps.append(v)
+    return taps
+
+
+def _taps_body(tab_ref, cell, R):
+    """Dispatch: interleaved (default) or plain window body. The
+    caller must pass the MATCHING table (_window_tab(wave))."""
+    if _use_taps4():
+        return _window_taps4_body(tab_ref, cell, R)
+    return _window_taps_body(tab_ref, cell, R)
+
+
+def _window_tab(wave):
+    """The (16, 128) window table matching _taps_body's layout."""
+    if _use_taps4():
+        return _build_window_tabs4()[wave]
+    return _build_window_tabs()[wave]
 
 
 def _flatten_batch(call, out_rows):
@@ -1796,7 +1885,7 @@ def _gather_taps_window(cells, tab):
     R = TILE // 128
 
     def kernel(idx_ref, tab_ref, out_ref):
-        taps = _window_taps_body(tab_ref, idx_ref[:, :], R)
+        taps = _taps_body(tab_ref, idx_ref[:, :], R)
         for t in range(4):
             out_ref[t, :, :] = taps[t]
 
@@ -1832,7 +1921,7 @@ def _gather_is_window(ph_i32, tab):
         ph = ph_ref[:, :]
         cell = jax.lax.shift_right_logical(ph, np.int32(SLENBITS))
         x = (ph & np.int32(W.SLENMASK)).astype(f32) * X_SCALE
-        taps = _window_taps_body(tab_ref, cell, R)
+        taps = _taps_body(tab_ref, cell, R)
         h, l = _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
         out_ref[0, :, :] = h
         out_ref[1, :, :] = l
@@ -2052,7 +2141,7 @@ def _wosc_fill_factory(TILE, tpv, dvs, dvo):
         ph = ph_ref[:, :]
         cell = jax.lax.shift_right_logical(ph, np.int32(SLENBITS))
         x = (ph & np.int32(W.SLENMASK)).astype(f32) * X_SCALE
-        taps = _window_taps_body(tab_ref, cell, R)
+        taps = _taps_body(tab_ref, cell, R)
         h2, l2 = _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
         # shifted-Is pairing: Is(p_prev[i]) == Is(ph[i-1]); position 0
         # takes the row seed (tile 0) or the cross-tile carry
@@ -2242,7 +2331,7 @@ def wosc_s_filled(wave: int, ph_u32, pp_in, prev_s, first_ir,
     hp, lp = _Is_df64(wave, pp_in)
     hr, lr = _Is_df64(wave, rst_prev)
     # literal under trace, shared arg eagerly (see _gather_taps_window)
-    tab = jnp.asarray(_build_window_tabs()[wave])
+    tab = jnp.asarray(_window_tab(wave))
     ent = _get_wosc_fill_entry(wave)
     return ent(jax.lax.bitcast_convert_type(ph_u32, i32),
                jax.lax.bitcast_convert_type(pp_in, i32),
@@ -2283,8 +2372,7 @@ def _gather_is_fused(ph_u32, wave: int):
     ph_i = jax.lax.bitcast_convert_type(ph_u32, i32)
     if pad:
         ph_i = jnp.concatenate([ph_i, jnp.zeros(pad, i32)])
-    tabs = _build_window_tabs()
-    out = _gather_is_window(ph_i, tabs[wave])
+    out = _gather_is_window(ph_i, _window_tab(wave))
     return out[0, :B], out[1, :B]
 
 
@@ -2320,7 +2408,7 @@ def gather_taps(cells, wave):
             else cells
         if _tap_kernel_mode() == 'window':
             return _gather_taps_window(
-                cp, _build_window_tabs()[wave])[:, :B]
+                cp, _window_tab(wave))[:, :B]
         mats = _build_tap_mats()
         return _gather_taps_pallas(
             cp, jnp.asarray(mats[wave]))[0:4, :B]
