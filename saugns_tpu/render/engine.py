@@ -1071,6 +1071,22 @@ class JaxGenerator:
             from .hostsim import HostSim
             self._sim = HostSim(self.plan)
             self._flat = [None] * len(self.plan.epochs)
+            # surface sequential-scan fallbacks (feedback-heavy or
+            # rebinding epochs get the slowest path; the -v text
+            # itself stays byte-par with the reference binary, so
+            # diagnostics ride an opt-in env knob instead)
+            if os.environ.get('SAUGNS_TPU_DIAG', '0') == '1':
+                import sys as _sys
+                for ei, bake in enumerate(self._sim.bakes):
+                    ep = self.plan.epochs[ei]
+                    if ep.start == ep.end or bake.eligible:
+                        continue
+                    print('saugns-tpu: %s: epoch %d (%d blocks) '
+                          'falls back to the sequential scan: %s'
+                          % (getattr(prg, 'name', '?') or '?', ei,
+                             len(ep.blk_len),
+                             bake.reason or 'segment-ineligible'),
+                          file=_sys.stderr)
 
     def _flat_epoch(self, ei):
         """Flat (time-parallel) segment renderers for epoch ``ei``, or
