@@ -1965,10 +1965,13 @@ _gather_is_window.def_vmap(_flatten_batch(_gather_is_window, 2))
 # iterations run sequentially). Produces the scan ("slow") semantics
 # at every position, which is what the flat path needs.
 
-def _flat_shift(x, k, R, fill):
+def _flat_shift(x, k, R, fill, mask_head=True):
     """y[i] = x[i-k] over the row-major (R, 128) flat order; the
     first k positions get ``fill``. k: a power of two (so it is
-    either a pure lane shift or a pure row shift)."""
+    either a pure lane shift or a pure row shift). mask_head=False
+    skips the head fill -- valid when the caller overwrites those
+    positions anyway (the fused kernel's k=1 shifts patch position 0
+    with the cross-tile carry immediately after)."""
     from jax.experimental.pallas import tpu as pltpu
     lanes = k % 128
     rows = k // 128
@@ -1980,6 +1983,8 @@ def _flat_shift(x, k, R, fill):
         y = jnp.where(lane >= np.int32(lanes), a, b)
     if rows:
         y = pltpu.roll(y, np.int32(rows), 0)
+    if not mask_head:
+        return y
     idx = (jax.lax.broadcasted_iota(i32, (R, 128), 0) * np.int32(128)
            + jax.lax.broadcasted_iota(i32, (R, 128), 1))
     return jnp.where(idx >= np.int32(k), y, fill)
@@ -2112,17 +2117,26 @@ def _ffill_vmap(axis_size, in_batched, s, m, seed):
 # same order); tiles are sized to the row (voice) length so vmapped
 # banks flatten with zero padding.
 
+# max tile for the fused sample+fill kernel: 4x the window-kernel
+# tile. Grid steps cost ~0.4-0.5 us each in DMA/sync bookkeeping;
+# at 16384 a 2.1M-sample call spent ~20% of its wall in the 128
+# step boundaries. 65536 (R=512) keeps the kernel's ~15 live
+# (R, 128) f32 temporaries ~4 MiB, well under the 16 MiB scoped
+# VMEM limit the compiler enforces.
+_F_TILE = 65536
+
+
 def _tile_for(n):
-    """Kernel tile for row length n: the largest multiple of 1024
-    (8 f32 sublanes x 128 lanes) <= _W_TILE that divides n, so padded
-    rows cost nothing; when n is not a multiple of 1024, the smallest
-    power-of-2 roundup (pad < half a tile)."""
+    """Fused-kernel tile for row length n: the largest multiple of
+    1024 (8 f32 sublanes x 128 lanes) <= _F_TILE that divides n, so
+    padded rows cost nothing; when n is not a multiple of 1024, the
+    smallest power-of-2 roundup (pad < half a tile)."""
     if n % 1024 == 0:
-        for m in range(min(n, _W_TILE) // 1024, 0, -1):
+        for m in range(min(n, _F_TILE) // 1024, 0, -1):
             if n % (m * 1024) == 0:
                 return m * 1024
     t = 1024
-    while t < n and t < _W_TILE:
+    while t < n and t < _F_TILE:
         t *= 2
     return t
 
@@ -2144,10 +2158,12 @@ def _wosc_fill_factory(TILE, tpv, dvs, dvo):
         taps = _taps_body(tab_ref, cell, R)
         h2, l2 = _herp_df64(taps[0], taps[1], taps[2], taps[3], x)
         # shifted-Is pairing: Is(p_prev[i]) == Is(ph[i-1]); position 0
-        # takes the row seed (tile 0) or the cross-tile carry
-        h1 = _flat_shift(h2, 1, R, np.float32(0.0))
-        l1 = _flat_shift(l2, 1, R, np.float32(0.0))
-        php = _flat_shift(ph, 1, R, np.int32(0))
+        # takes the row seed (tile 0) or the cross-tile carry -- the
+        # pos0 patch below overwrites the head, so the shifts skip
+        # their head fill
+        h1 = _flat_shift(h2, 1, R, np.float32(0.0), mask_head=False)
+        l1 = _flat_shift(l2, 1, R, np.float32(0.0), mask_head=False)
+        php = _flat_shift(ph, 1, R, np.int32(0), mask_head=False)
         ch = jnp.where(start, ish_ref[v], cf_ref[0])
         cl = jnp.where(start, isl_ref[v], cf_ref[1])
         cfill = jnp.where(start, ps_ref[v], cf_ref[2])
@@ -2180,14 +2196,21 @@ def _wosc_fill_factory(TILE, tpv, dvs, dvo):
         mh, ml = _df_mul_f(dh, dl, xf)
         sh, sl = _df_add(mh, ml, np.float32(dvo), np.float32(0.0))
         s = sh + sl
-        last = (row == np.int32(R - 1)) & (lane == np.int32(127))
-        cf_ref[0] = jnp.sum(jnp.where(last, h2, np.float32(0.0)))
-        cf_ref[1] = jnp.sum(jnp.where(last, l2, np.float32(0.0)))
-        ph_lo = (ph & np.int32(0xffff)).astype(f32)
-        ph_hi = jax.lax.shift_right_logical(
-            ph, np.int32(16)).astype(f32)
-        cf_ref[3] = jnp.sum(jnp.where(last, ph_lo, np.float32(0.0)))
-        cf_ref[4] = jnp.sum(jnp.where(last, ph_hi, np.float32(0.0)))
+        # cross-tile carries: only element [R-1, 127] matters, so
+        # reduce a (1, 128) last-row slice instead of the full tile
+        # (5 full-tile masked reductions were ~5 extra passes)
+        lane1 = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+        lastl = lane1 == np.int32(127)
+
+        def last_elem(row1):
+            return jnp.sum(jnp.where(lastl, row1, np.float32(0.0)))
+
+        cf_ref[0] = last_elem(h2[R - 1:R, :])
+        cf_ref[1] = last_elem(l2[R - 1:R, :])
+        ph_last = ph[R - 1:R, :]
+        cf_ref[3] = last_elem((ph_last & np.int32(0xffff)).astype(f32))
+        cf_ref[4] = last_elem(jax.lax.shift_right_logical(
+            ph_last, np.int32(16)).astype(f32))
         # pd == 0 hold: forward fill (log-doubling in VMEM, carry in
         # SMEM -- same scheme as _ffill_kernel_factory). A tile with
         # no holds -- the overwhelmingly common case: any audible
@@ -2201,7 +2224,7 @@ def _wosc_fill_factory(TILE, tpv, dvs, dvo):
         @pl.when(nhold == np.float32(0.0))
         def _():
             out_ref[:, :] = s
-            cf_ref[2] = jnp.sum(jnp.where(last, s, np.float32(0.0)))
+            cf_ref[2] = last_elem(s[R - 1:R, :])
 
         @pl.when(nhold != np.float32(0.0))
         def _():
@@ -2217,7 +2240,7 @@ def _wosc_fill_factory(TILE, tpv, dvs, dvo):
                 k *= 2
             out = jnp.where(f != np.float32(0.0), val, cfill)
             out_ref[:, :] = out
-            cf_ref[2] = jnp.sum(jnp.where(last, out, np.float32(0.0)))
+            cf_ref[2] = last_elem(out[R - 1:R, :])
     return kernel
 
 
