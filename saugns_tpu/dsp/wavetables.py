@@ -164,6 +164,35 @@ def _build_tables():
     return lut_arr, pilut_arr
 
 
+def _native_tables():
+    """Tables built by the natively-compiled constructor
+    (native/fastdsp.c wave_tables_build), or None. The reference
+    binary builds its tables with -O3 -ffast-math, where gcc's
+    vectorizer perturbs 6 of the 12 tables by ~1 ulp vs strict
+    per-op rounding; compiling the same construction with the same
+    flags on this machine is the only faithful way to match that
+    binary's bits (it was the entire remaining byte divergence on 10
+    corpus scripts). SAUGNS_TPU_NATIVE_TABLES=0 keeps the NumPy
+    strict-rounding tables."""
+    import os
+    if os.environ.get('SAUGNS_TPU_NATIVE_TABLES', '1') != '1':
+        return None
+    try:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None:
+            return None
+        import ctypes
+        luts = np.zeros((WAVE_NAMED, LEN), np.float32)
+        piluts = np.zeros((WAVE_NAMED, LEN), np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.wave_tables_build(luts.ctypes.data_as(f32p),
+                              piluts.ctypes.data_as(f32p))
+        return luts, piluts
+    except Exception:
+        return None
+
+
 _cache = None
 
 
@@ -171,7 +200,7 @@ def get_tables():
     """Return (luts, piluts) as float32 arrays of shape (12, 2048)."""
     global _cache
     if _cache is None:
-        _cache = _build_tables()
+        _cache = _native_tables() or _build_tables()
     return _cache
 
 

@@ -64,6 +64,7 @@ def get_lib():
         lib.phasor_fill.argtypes = [u32p, ctypes.c_long,
                                     ctypes.c_float, u32p, f32p, f32p,
                                     f32p]
+        lib.wave_tables_build.argtypes = [f32p, f32p]
         _lib = lib
     except Exception:
         _lib = None

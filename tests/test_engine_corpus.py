@@ -2,8 +2,9 @@
 reference Makefile:31-32).
 
 Renders reference corpus scripts through BOTH backends -- the host
-renderer (byte-exact vs the reference binary on 84/96 scripts, >=96 dB
-on the rest) and the JAX engine -- at 6 kHz and asserts the engine
+renderer (byte-exact vs the reference binary on 86/89 directly
+renderable scripts with the native wave tables, >=96 dB on the other
+3) and the JAX engine -- at 6 kHz and asserts the engine
 stays within quantization distance (SNR >= 90 dB; most scripts are
 bit-identical).  This is the harness whose absence let round-1's
 24-88 dB engine outliers ship unnoticed.
