@@ -98,13 +98,23 @@ def snapshot(platform):
     if not os.path.isdir(src):
         print('no export cache at %s' % src)
         return 1
+    # copy only artifacts the MANIFEST (written by --build for the
+    # CURRENT code hash) names -- the user cache accumulates exports
+    # from earlier code states that can never load again
+    mp = os.path.join(src, 'MANIFEST.json')
+    keep = None
+    if os.path.isfile(mp):
+        with open(mp) as f:
+            man = json.load(f)
+        keep = {e['key'] + '.jaxexp' for e in man.get('entries', [])}
+        keep.add('MANIFEST.json')
     os.makedirs(dst, exist_ok=True)
     for fn in os.listdir(dst):
         os.unlink(os.path.join(dst, fn))
     n = total = 0
     for fn in sorted(os.listdir(src)):
         p = os.path.join(src, fn)
-        if os.path.isfile(p):
+        if os.path.isfile(p) and (keep is None or fn in keep):
             shutil.copyfile(p, os.path.join(dst, fn))
             n += 1
             total += os.path.getsize(p)
