@@ -1241,13 +1241,7 @@ class JaxGenerator:
             exp = aotstore.load(self._mono_key, jax.default_backend())
             if exp is not None:
                 self._mono_exported = True
-                # jit the exported callable: bare exp.call re-binds a
-                # custom-vjp Python path on EVERY dispatch (~1.5-4 ms
-                # per render, ~0.9 s of a 75-script corpus stream);
-                # under jit it compiles once (cache hit -- the inner
-                # module is already compiled) and then takes jit's
-                # ~100 us C++ fast path
-                self._mono_cache = (jax.jit(exp.call), tuple(args))
+                self._mono_cache = (exp.call, tuple(args))
                 return self._mono_cache
         self._mono_cache = (jax.jit(mono), tuple(args))
         return self._mono_cache
