@@ -127,3 +127,26 @@ def test_render_path(tmp_path):
     a = st.render(path=str(p), srate=6000, backend='cpu')
     b = st.render(WSIN, srate=6000, backend='cpu')
     np.testing.assert_array_equal(a, b)
+
+
+def test_diag_surfaces_sequential_fallback(capsys):
+    """SAUGNS_TPU_DIAG=1 reports epochs that fall back to the
+    sequential scan (the one remaining corpus shape: ratio-flip
+    conversion w/ mul, pm_smoothchange.sau)."""
+    import os
+    import pytest
+    src = '/root/reference/examples/tests/pm_smoothchange.sau'
+    if not os.path.exists(src):
+        pytest.skip('reference corpus not available')
+    from saugns_tpu.lang.program import ScriptArg, build_program
+    from saugns_tpu.render.engine import JaxGenerator
+    prg = build_program(ScriptArg(str=src, is_path=True,
+                                  no_time=True, predef=[]))
+    os.environ['SAUGNS_TPU_DIAG'] = '1'
+    try:
+        JaxGenerator(prg, 6000)
+    finally:
+        del os.environ['SAUGNS_TPU_DIAG']
+    err = capsys.readouterr().err
+    assert 'falls back to the sequential scan' in err
+    assert 'ratio-flip' in err
