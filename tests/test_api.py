@@ -150,3 +150,12 @@ def test_diag_surfaces_sequential_fallback(capsys):
     err = capsys.readouterr().err
     assert 'falls back to the sequential scan' in err
     assert 'ratio-flip' in err
+
+
+def test_cli_muted_deferred_renders(capsys):
+    """`-m` with no sinks takes the deferred device-render path (one
+    sync in finish(), the script_list bench's deployment shape) and
+    exits 0 for a good script; a multi-script list also completes."""
+    from saugns_tpu.cli import main as cli_main
+    rc = cli_main(['-m', '-d', '-e', 'Wsin t.05', 'Wtri t.05 f100'])
+    assert rc == 0
