@@ -217,6 +217,15 @@ def _emit_json():
         }
         if _state['fidelity_db'] is not None:
             rec['fidelity_db'] = round(_state['fidelity_db'], 1)
+        # watchdogged partial with the trivial device probe never
+        # completing = the dev-rig tunnel wedged under another
+        # tenant's load before ANY device work (an environmental
+        # failure mode seen 3x in round 5, self-healing in ~10-30
+        # min) -- tell the reader the numbers describe a wedge, not
+        # the engine
+        if _state['n_configs'] == 0 \
+                and not _state.get('probe_done', False):
+            rec['tunnel_wedge_suspected'] = True
         for k in ('corpus_full_scripts', 'corpus_full_audio_s'):
             if k in _state:
                 rec[k] = _state[k]
@@ -355,6 +364,8 @@ def main():
         v = float(jnp.sum(jnp.arange(8.0)))
         print('# device probe: sum=%g in %.2fs' % (v, time.time() - t0),
               file=sys.stderr, flush=True)
+        with _lock:
+            _state['probe_done'] = True
     threading.Thread(target=_probe, daemon=True).start()
 
     results = {}
